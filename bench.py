@@ -1,0 +1,91 @@
+"""Headline benchmark: POCO-CLIFF inference throughput (crops/sec/chip).
+
+Runs the flagship fused pipeline — normalized 224px crops through
+HRNet-W48 -> CLIFF head -> SMPL LBS (full 6890-vertex mesh) -> projection
+-> uncertainty head — as one jitted XLA program on the available device,
+and reports crops/sec/chip.
+
+Baseline contract (BASELINE.md): >2000 crops/sec on a v5e-8 for the
+POCO-CLIFF demo, i.e. 250 crops/sec/chip. `vs_baseline` is
+crops_per_sec_per_chip / 250.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(os.environ.get("POCO_BENCH_BATCH", "128"))
+ITERS = int(os.environ.get("POCO_BENCH_ITERS", "20"))
+WARMUP = 3
+BASELINE_PER_CHIP = 250.0  # 2000 crops/s on 8 chips
+
+
+def main():
+    from poco_tpu.models.poco import build_poco_cliff, init_poco
+    from poco_tpu.smpl.assets import synthetic_smpl_model
+
+    from poco_tpu.models.poco import POCO, PocoConfig
+
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("POCO_BENCH_BF16", "1") == "1"
+        else jnp.float32
+    )
+    model = POCO(cfg=PocoConfig(), dtype=dtype)
+    smpl = synthetic_smpl_model(num_verts=6890)
+    variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray(rng.randn(BATCH, 224, 224, 3), jnp.float32),
+        "bbox_info": jnp.asarray(rng.randn(BATCH, 3), jnp.float32),
+        "focal_length": jnp.full((BATCH,), 1118.0, jnp.float32),
+        "scale": jnp.full((BATCH,), 1.2, jnp.float32),
+        "center": jnp.full((BATCH, 2), 500.0, jnp.float32),
+        "orig_shape": jnp.full((BATCH, 2), 1000.0, jnp.float32),
+    }
+
+    @jax.jit
+    def forward(variables, batch, smpl):
+        return model.apply(variables, batch, smpl, train=False)
+
+    # Warm-up / compile.
+    out = forward(variables, batch, smpl)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(forward(variables, batch, smpl))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, batch, smpl)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    crops_per_sec = BATCH * ITERS / dt
+    per_chip = crops_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "poco_cliff_crops_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "crops/s/chip",
+                "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Shared backbone building blocks (flax.linen, NHWC).
+
+Conventions chosen for checkpoint-conversion parity with torch models:
+  * explicit torch-style symmetric padding (never 'SAME', whose asymmetric
+    pads differ from torch for stride-2 convs),
+  * BatchNorm epsilon 1e-5, momentum 0.9 (torch momentum 0.1),
+  * module names mirror the torch attribute paths so the converter is a
+    mechanical string transform.
+
+Reference topologies: pocolib/models/backbone/{resnet.py,hrnet.py,hrnet_cls.py}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_MOMENTUM = 0.9  # flax momentum = 1 - torch(0.1)
+
+
+def conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    padding: int | None = None,
+    use_bias: bool = False,
+    name: str | None = None,
+    dtype: Any = jnp.float32,
+) -> nn.Conv:
+    if padding is None:
+        padding = kernel // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+    )
+
+
+def batch_norm(train: bool, name: str | None = None, dtype: Any = jnp.float32) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=1e-5,
+        name=name,
+        dtype=dtype,
+    )
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (expansion 1)."""
+
+    filters: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        y = conv(self.filters, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        y = batch_norm(train, name="bn1", dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = conv(self.filters, 3, 1, name="conv2", dtype=self.dtype)(y)
+        y = batch_norm(train, name="bn2", dtype=self.dtype)(y)
+        if self.has_downsample:
+            residual = conv(
+                self.filters, 1, self.stride, padding=0,
+                name="downsample_conv", dtype=self.dtype,
+            )(x)
+            residual = batch_norm(train, name="downsample_bn", dtype=self.dtype)(
+                residual
+            )
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual block (expansion 4)."""
+
+    filters: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        y = conv(self.filters, 1, 1, padding=0, name="conv1", dtype=self.dtype)(x)
+        y = batch_norm(train, name="bn1", dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = conv(self.filters, 3, self.stride, name="conv2", dtype=self.dtype)(y)
+        y = batch_norm(train, name="bn2", dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = conv(
+            self.filters * 4, 1, 1, padding=0, name="conv3", dtype=self.dtype
+        )(y)
+        y = batch_norm(train, name="bn3", dtype=self.dtype)(y)
+        if self.has_downsample:
+            residual = conv(
+                self.filters * 4, 1, self.stride, padding=0,
+                name="downsample_conv", dtype=self.dtype,
+            )(x)
+            residual = batch_norm(train, name="downsample_bn", dtype=self.dtype)(
+                residual
+            )
+        return nn.relu(y + residual)
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Exact integer-factor nearest upsampling (NHWC), torch-equivalent."""
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True semantics (NHWC).
+
+    Matches torch `F.interpolate(mode='bilinear', align_corners=True)`:
+    output pixel i samples input coordinate i * (in-1) / (out-1).
+    (jax.image.resize implements only the half-pixel convention, which is
+    align_corners=False — so this is hand-rolled with static gathers.)
+    """
+    _, in_h, in_w, _ = x.shape
+
+    def coords(out_n: int, in_n: int) -> jnp.ndarray:
+        if out_n == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(out_n, dtype=jnp.float32) * (in_n - 1) / (out_n - 1)
+
+    ys, xs = coords(out_h, in_h), coords(out_w, in_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, in_h - 1)
+    y1 = jnp.clip(y0 + 1, 0, in_h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, in_w - 1)
+    x1 = jnp.clip(x0 + 1, 0, in_w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class ResLayer(nn.Module):
+    """Sequence of residual blocks, torch `_make_layer` equivalent.
+
+    Child names are "0", "1", ... to mirror torch nn.Sequential indices.
+    """
+
+    block: Callable[..., nn.Module]
+    filters: int
+    num_blocks: int
+    stride: int = 1
+    in_channels: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        expansion = self.block.expansion
+        needs_ds = self.stride != 1 or x.shape[-1] != self.filters * expansion
+        y = self.block(
+            self.filters,
+            stride=self.stride,
+            has_downsample=needs_ds,
+            name="0",
+            dtype=self.dtype,
+        )(x, train)
+        for i in range(1, self.num_blocks):
+            y = self.block(self.filters, name=str(i), dtype=self.dtype)(y, train)
+        return y

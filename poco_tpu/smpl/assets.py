@@ -98,18 +98,21 @@ def _params_from_dict(
     faces = np.asarray(d.get("f", np.zeros((0, 3))), np.int32)
     if j_regressor_extra is None:
         j_regressor_extra = np.zeros((NUM_EXTRA_JOINTS, num_verts), np.float32)
+    vids = (
+        SMPL_VERTEX_JOINT_IDS
+        if num_verts > SMPL_VERTEX_JOINT_IDS.max()
+        else SMPL_VERTEX_JOINT_IDS % num_verts
+    )
     return SmplParams(
         v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
         posedirs=jnp.asarray(posedirs, dtype),
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(weights, dtype),
-        parents=np.asarray(parents, np.int32),
+        parents=tuple(int(x) for x in parents),
         j_regressor_extra=jnp.asarray(j_regressor_extra, dtype),
-        vertex_joint_ids=SMPL_VERTEX_JOINT_IDS.copy()
-        if num_verts > SMPL_VERTEX_JOINT_IDS.max()
-        else (SMPL_VERTEX_JOINT_IDS % num_verts),
-        faces=faces,
+        vertex_joint_ids=tuple(int(x) for x in vids),
+        faces=jnp.asarray(faces, jnp.int32),
     )
 
 
@@ -171,10 +174,10 @@ def synthetic_smpl_model(
         posedirs=jnp.asarray(posedirs, dtype),
         j_regressor=jnp.asarray(j_reg, dtype),
         lbs_weights=jnp.asarray(w, dtype),
-        parents=SMPL_PARENTS.copy(),
+        parents=tuple(int(x) for x in SMPL_PARENTS),
         j_regressor_extra=jnp.asarray(extra, dtype),
-        vertex_joint_ids=(SMPL_VERTEX_JOINT_IDS % num_verts).astype(np.int32),
-        faces=faces,
+        vertex_joint_ids=tuple(int(x) for x in SMPL_VERTEX_JOINT_IDS % num_verts),
+        faces=jnp.asarray(faces, jnp.int32),
     )
 
 

@@ -23,10 +23,16 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 
-class SmplParams(NamedTuple):
+@struct.dataclass
+class SmplParams:
     """SMPL model weights as a pytree of device arrays.
+
+    The kinematic parent table and vertex-keypoint indices are *static*
+    (hashable tuples, not pytree leaves): `parents` drives the statically
+    unrolled FK chain and must be concrete under jit.
 
     Shapes (V = num vertices, standard SMPL V = 6890):
         v_template:  (V, 3)    rest-pose template mesh
@@ -34,11 +40,11 @@ class SmplParams(NamedTuple):
         posedirs:    (207, V*3)       pose-corrective blendshape basis
         j_regressor: (24, V)   rest-joint regressor
         lbs_weights: (V, 24)   skinning weights
-        parents:     (24,) int32 kinematic parent table (parents[0] == -1)
+        parents:     tuple[int] kinematic parent table (parents[0] == -1)
         j_regressor_extra: (E, V) extra-joint regressor (E=9 for the
             reference's 49-joint convention), applied to posed vertices
-        vertex_joint_ids: (K,) int32 vertex indices appended as keypoints
-            (K=21 standard), applied to posed vertices
+        vertex_joint_ids: tuple[int] vertex indices appended as keypoints
+            (21 standard), applied to posed vertices
         faces: (F, 3) int32 triangle indices (host-side, rendering only)
     """
 
@@ -47,10 +53,10 @@ class SmplParams(NamedTuple):
     posedirs: jnp.ndarray
     j_regressor: jnp.ndarray
     lbs_weights: jnp.ndarray
-    parents: np.ndarray          # static (hashable) — not traced
     j_regressor_extra: jnp.ndarray
-    vertex_joint_ids: np.ndarray  # static gather indices
-    faces: np.ndarray
+    faces: jnp.ndarray
+    parents: tuple = struct.field(pytree_node=False)
+    vertex_joint_ids: tuple = struct.field(pytree_node=False)
 
 
 class SmplOutput(NamedTuple):
@@ -72,14 +78,14 @@ def vertices2joints(j_regressor: jnp.ndarray, verts: jnp.ndarray) -> jnp.ndarray
 
 
 def batch_rigid_transform(
-    rotmats: jnp.ndarray, joints: jnp.ndarray, parents: np.ndarray
+    rotmats: jnp.ndarray, joints: jnp.ndarray, parents
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-kinematics chain.
 
     Args:
         rotmats: (B, J, 3, 3) per-joint local rotations.
         joints: (B, J, 3) rest-pose joint locations.
-        parents: (J,) static parent table.
+        parents: length-J static parent table (tuple/array of ints).
     Returns:
         posed_joints: (B, J, 3) world-frame joint positions.
         rel_transforms: (B, J, 4, 4) skinning transforms (world transform
@@ -87,6 +93,7 @@ def batch_rigid_transform(
     """
     batch = rotmats.shape[0]
     num_joints = joints.shape[1]
+    parents = np.asarray(parents)
 
     rel_joints = joints - jnp.concatenate(
         [jnp.zeros_like(joints[:, :1]), joints[:, parents[1:]]], axis=1
@@ -176,7 +183,7 @@ def smpl_forward(
         [45:54)  extra regressed joints (J_regressor_extra)
     """
     verts, joints_lbs = lbs(betas, pose_rotmats, params)
-    vertex_joints = verts[:, params.vertex_joint_ids]
+    vertex_joints = verts[:, np.asarray(params.vertex_joint_ids)]
     extra_joints = vertices2joints(params.j_regressor_extra, verts)
     joints = jnp.concatenate([joints_lbs, vertex_joints, extra_joints], axis=1)
     return SmplOutput(vertices=verts, joints=joints, joints_lbs=joints_lbs)

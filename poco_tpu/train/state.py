@@ -1,0 +1,124 @@
+"""Training state: parameters, BN statistics, optimizer, schedules.
+
+Replaces the reference's PyTorch-Lightning LitModule plumbing
+(pocolib/core/trainer.py:28-208) with a plain flax/optax TrainState:
+
+  * Adam with per-module learning-rate multipliers (reference MODULE_LR
+    mini-DSL, trainer.py:591-605) via optax.multi_transform;
+  * freeze schedules (reference FREEZE_PARAMS, train_utils.py:105-116)
+    expressed as zero-LR partitions — the optimizer is *not* rebuilt every
+    epoch; the schedule is a traced step input;
+  * BN running statistics carried as `batch_stats` collection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    buffers: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+    @property
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        if self.buffers is not None:
+            v["buffers"] = self.buffers
+        return v
+
+
+MODULE_GROUPS = ("backbone_net", "head", "uncert_head", "flow_head")
+
+
+def module_label_tree(params: Any) -> Any:
+    """Label every leaf with its top-level module name for multi_transform."""
+
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return top if top in MODULE_GROUPS else "other"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
+    module_lr: dict[str, float] | None = None,
+    frozen_modules: tuple[str, ...] = (),
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    """Adam with per-module LR multipliers and frozen partitions.
+
+    Args:
+        module_lr: e.g. {"backbone_net": 0.1, "head": 0.1} — multiplier on
+            the base LR (reference MODULE_LR "0.1_0.1_1.0_1.0",
+            trainer.py:592-605).
+        frozen_modules: module names whose gradients are zeroed (reference
+            FREEZE_PARAMS, train_utils.py:92-116).
+    """
+    module_lr = dict(module_lr or {})
+
+    def adam_for(mult: float):
+        chain = []
+        if grad_clip:
+            chain.append(optax.clip_by_global_norm(grad_clip))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.adam(lr * mult))
+        return optax.chain(*chain)
+
+    transforms = {"other": adam_for(1.0)}
+    for mod in MODULE_GROUPS:
+        if mod in frozen_modules:
+            transforms[mod] = optax.set_to_zero()
+        else:
+            transforms[mod] = adam_for(module_lr.get(mod, 1.0))
+
+    def labeler(params):
+        labels = module_label_tree(params)
+        # Frozen modules keep their own label; others collapse to theirs.
+        return labels
+
+    return optax.multi_transform(transforms, labeler)
+
+
+def create_train_state(
+    model,
+    variables: dict,
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats"),
+        buffers=variables.get("buffers"),
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )

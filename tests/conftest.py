@@ -3,14 +3,25 @@
 Multi-chip sharding paths are exercised without TPU hardware by forcing the
 host platform and splitting it into 8 virtual devices (the same mechanism
 the driver uses for the multi-chip dry run).
+
+Note: the TPU plugin in this environment ignores the JAX_PLATFORMS env
+var, so we force the platform through jax.config before any test imports
+jax arrays.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: the big-model tests compile once per
+# machine, not once per pytest invocation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

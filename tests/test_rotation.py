@@ -36,11 +36,20 @@ class TestAxisAngle:
         np.testing.assert_allclose(rot, expected, atol=1e-6)
 
     def test_round_trip_aa_rotmat(self):
+        # Angles < pi round-trip exactly; larger angles map to the
+        # equivalent canonical rotation, so compare matrices there.
         rng = np.random.RandomState(1)
-        aa = rng.uniform(-2.5, 2.5, (64, 3)).astype(np.float32)
+        aa = rng.uniform(-1.0, 1.0, (64, 3)).astype(np.float32)
         rot = R.axis_angle_to_rotmat(jnp.asarray(aa))
         aa_back = np.asarray(R.rotmat_to_axis_angle(rot))
         np.testing.assert_allclose(aa_back, aa, atol=2e-4)
+
+        aa_large = rng.uniform(-2.5, 2.5, (64, 3)).astype(np.float32)
+        rot = R.axis_angle_to_rotmat(jnp.asarray(aa_large))
+        rot_back = R.axis_angle_to_rotmat(R.rotmat_to_axis_angle(rot))
+        np.testing.assert_allclose(
+            np.asarray(rot_back), np.asarray(rot), atol=1e-4
+        )
 
     def test_matches_torch_rodrigues(self):
         """Parity with the reference's batch_rodrigues formulation."""

@@ -108,7 +108,7 @@ class TestLbs:
         # Vertex-selected keypoints are actual mesh vertices.
         np.testing.assert_allclose(
             np.asarray(out.joints[:, 24:45]),
-            np.asarray(out.vertices[:, params.vertex_joint_ids]),
+            np.asarray(out.vertices[:, np.asarray(params.vertex_joint_ids)]),
             atol=1e-6,
         )
 
