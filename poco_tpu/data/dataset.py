@@ -1,0 +1,295 @@
+"""npz-annotation dataset and batching (host side).
+
+Reference contract: pocolib/dataset/base_dataset.py. The npz schema is
+unchanged — imgname, center, scale, and optionally pose (72), shape (10),
+S (24,4), part (24,3), openpose (25,3), gender, has_smpl, person_id,
+var — so existing annotation files work as-is.
+
+TPU-first redesign:
+  * items stay numpy; images are HWC uint8-range float (NHWC batches);
+    normalization and GT mesh generation happen on device inside the
+    jitted train/eval step (no per-item torch SMPL calls as in
+    base_dataset.py:341-379);
+  * batches are fixed-size (padded + masked via parallel.mesh helpers),
+    so XLA never recompiles;
+  * a lightweight background-thread prefetcher replaces torch DataLoader
+    workers.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Any, Iterator
+
+import cv2
+import numpy as np
+
+from ..constants import IMG_RES
+from ..ops.preprocess import calculate_bbox_info as _bbox_info_jnp
+from .transforms import (
+    AugmentParams,
+    convert_crop_coords_to_orig_img,
+    process_image,
+    process_keypoints_2d,
+    process_keypoints_3d,
+    process_pose,
+    sample_augment_params,
+)
+
+
+def calculate_bbox_info_np(center, scale, orig_shape):
+    img_h, img_w = float(orig_shape[0]), float(orig_shape[1])
+    focal = np.sqrt(img_h**2 + img_w**2)
+    b = scale * 200.0
+    return np.array(
+        [
+            (center[0] - img_w / 2.0) / focal * 2.8,
+            (center[1] - img_h / 2.0) / focal * 2.8,
+            (b - 0.24 * focal) / (0.06 * focal),
+        ],
+        np.float32,
+    )
+
+
+def get_confident_frames(var: np.ndarray, threshold: float) -> np.ndarray:
+    """Select frames whose root uncertainty is below threshold.
+
+    Reference: train_utils.py:31-45 (global uncertainty = joint 0).
+    """
+    global_var = np.asarray(var)[:, 0]
+    return np.nonzero(global_var < threshold)[0]
+
+
+class PocoDataset:
+    """BaseDataset equivalent over an npz annotation file.
+
+    Args:
+        npz_file: annotation archive (schema above).
+        img_dir: image root joined with each imgname.
+        is_train: enables augmentation and training keys.
+        options: dict of augmentation knobs (FLIP, NOISE_FACTOR,
+            ROT_FACTOR, SCALE_FACTOR, USE_SYNTHETIC_OCCLUSION,
+            UNCERT_THRESHOLD, IMG_RES), defaults mirror config.py.
+        occluders: optional list of RGBA occluder patches for synthetic
+            occlusion augmentation.
+    """
+
+    def __init__(
+        self,
+        npz_file: str,
+        img_dir: str = "",
+        dataset_name: str = "",
+        is_train: bool = True,
+        use_augmentation: bool = True,
+        ignore_3d: bool = False,
+        num_images: int = 0,
+        options: dict | None = None,
+        occluders: list | None = None,
+        seed: int = 0,
+    ):
+        self.img_dir = img_dir
+        self.dataset_name = dataset_name or os.path.basename(npz_file).split(".")[0]
+        self.is_train = is_train
+        self.use_augmentation = use_augmentation
+        self.options = dict(
+            FLIP=True, NOISE_FACTOR=0.4, ROT_FACTOR=30.0, SCALE_FACTOR=0.25,
+            IMG_RES=IMG_RES, UNCERT_THRESHOLD=0.15,
+        )
+        self.options.update(options or {})
+        self.occluders = occluders
+        self.rng = np.random.RandomState(seed)
+
+        data = dict(np.load(npz_file, allow_pickle=True))
+        n = len(data["imgname"])
+
+        # Confident-frame subselection for POCO-labeled data
+        # (base_dataset.py:60-71).
+        if "var" in data:
+            sel = get_confident_frames(
+                data["var"], self.options["UNCERT_THRESHOLD"]
+            )
+            data = {k: v[sel] for k, v in data.items()}
+            n = len(data["imgname"])
+        if num_images > 0:
+            sel = self.rng.randint(0, n, size=num_images)
+            data = {k: v[sel] for k, v in data.items()}
+            n = num_images
+
+        self.imgname = data["imgname"]
+        self.center = data["center"].astype(np.float32)
+        self.scale = data["scale"].astype(np.float32)
+
+        if "pose" in data and not ignore_3d:
+            self.pose = data["pose"].astype(np.float32)
+            self.betas = data["shape"].astype(np.float32)
+            self.has_smpl = data.get(
+                "has_smpl", np.ones(n, np.float32)
+            ).astype(np.float32)
+        else:
+            self.pose = np.zeros((n, 72), np.float32)
+            self.betas = np.zeros((n, 10), np.float32)
+            self.has_smpl = np.zeros(n, np.float32)
+
+        if "S" in data and not ignore_3d:
+            self.pose_3d = data["S"].astype(np.float32)
+            self.has_pose_3d = 1.0
+        else:
+            self.pose_3d = np.zeros((n, 24, 4), np.float32)
+            self.has_pose_3d = 0.0
+
+        kp_gt = data.get("part", np.zeros((n, 24, 3))).astype(np.float32)
+        kp_op = data.get("openpose", np.zeros((n, 25, 3))).astype(np.float32)
+        self.keypoints = np.concatenate([kp_op, kp_gt], axis=1)
+
+        gender = data.get("gender")
+        if gender is not None:
+            self.gender = np.array(
+                [0 if str(g) == "m" else 1 for g in gender], np.int32
+            )
+        else:
+            self.gender = -1 * np.ones(n, np.int32)
+        self.person_id = data.get("person_id", -1 * np.ones(n, np.int32))
+
+    def __len__(self) -> int:
+        return len(self.imgname)
+
+    def _load_image(self, index: int) -> np.ndarray:
+        path = os.path.join(self.img_dir, str(self.imgname[index]))
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img[:, :, ::-1].astype(np.float32)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        center = self.center[index].copy()
+        scale = float(self.scale[index])
+        keypoints = self.keypoints[index].copy()
+
+        if self.is_train and self.use_augmentation:
+            aug = sample_augment_params(
+                self.rng,
+                noise_factor=self.options["NOISE_FACTOR"],
+                rot_factor=self.options["ROT_FACTOR"],
+                scale_factor=self.options["SCALE_FACTOR"],
+                use_flip=self.options["FLIP"],
+            )
+        else:
+            aug = AugmentParams()
+
+        img = self._load_image(index)
+        orig_shape = np.array(img.shape[:2], np.float32)
+
+        kp2d = process_keypoints_2d(
+            keypoints, center, scale, aug, self.options["IMG_RES"]
+        )
+        bbox = np.array([[center[0], center[1], aug.scale * scale * 200.0]])
+        kp_fullimg = convert_crop_coords_to_orig_img(
+            bbox, kp2d[None].copy(), self.options["IMG_RES"]
+        )[0]
+
+        crop = process_image(
+            img, center, aug.scale * scale, aug, self.options["IMG_RES"]
+        )
+        if (
+            self.occluders is not None
+            and self.is_train
+            and self.options.get("USE_SYNTHETIC_OCCLUSION")
+        ):
+            from .occlusion import occlude_with_objects_kp
+
+            crop = occlude_with_objects_kp(
+                crop, kp2d, scale, self.occluders, self.rng
+            )
+
+        item = {
+            "img": crop,  # (R, R, 3) float32 [0,255]; normalize on device
+            "pose": process_pose(self.pose[index], aug),
+            "betas": self.betas[index].copy(),
+            "pose_3d": process_keypoints_3d(self.pose_3d[index], aug),
+            "keypoints": kp2d,
+            "keypoints_fullimg": kp_fullimg,
+            "has_smpl": np.float32(self.has_smpl[index]),
+            "has_pose_3d": np.float32(self.has_pose_3d),
+            "scale": np.float32(aug.scale * scale),
+            "center": center.astype(np.float32),
+            "orig_shape": orig_shape,
+            "focal_length": np.float32(
+                np.sqrt(orig_shape[0] ** 2 + orig_shape[1] ** 2)
+            ),
+            "bbox_info": calculate_bbox_info_np(
+                center, aug.scale * scale, orig_shape
+            ),
+            "is_flipped": np.float32(aug.flip),
+            "rot_angle": np.float32(aug.rot),
+            "gender": np.int32(self.gender[index]),
+            "sample_index": np.int32(index),
+            "dataset_name": self.dataset_name,
+        }
+        return item
+
+
+def collate(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:
+    """Stack item dicts into a numpy batch (strings become lists)."""
+    batch: dict[str, Any] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], str):
+            batch[key] = vals
+        else:
+            batch[key] = np.stack(vals)
+    return batch
+
+
+class DataLoader:
+    """Minimal single-host loader with background-thread prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(self)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    q.put(collate([self.dataset[int(i)] for i in idxs]))
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item

@@ -1,0 +1,172 @@
+"""Synthetic occlusion augmentation: keypoint-targeted occluder pasting.
+
+Reference contract: pocolib/dataset/occlusion.py:43-150. Occluder patches
+are RGBA numpy arrays (alpha-blended paste). `load_pascal_occluders`
+extracts segmented non-person objects from a Pascal VOC root when one is
+available; `synthetic_occluders` generates simple random patches so the
+augmentation path stays exercisable without the VOC download.
+"""
+
+from __future__ import annotations
+
+import os
+
+import cv2
+import numpy as np
+
+
+def paste_over(im_src: np.ndarray, im_dst: np.ndarray, center) -> None:
+    """Alpha-blend `im_src` (RGBA) onto `im_dst` (RGB) in place at center.
+
+    Reference: occlusion.py paste_over.
+    """
+    w_src, h_src = im_src.shape[1], im_src.shape[0]
+    w_dst, h_dst = im_dst.shape[1], im_dst.shape[0]
+    center = np.round(np.asarray(center)).astype(np.int32)
+    raw_start = center - np.array([w_src // 2, h_src // 2])
+    raw_end = raw_start + np.array([w_src, h_src])
+    start = np.clip(raw_start, 0, [w_dst, h_dst])
+    end = np.clip(raw_end, 0, [w_dst, h_dst])
+    region = im_dst[start[1]:end[1], start[0]:end[0]]
+    src_start = start - raw_start
+    src_end = src_start + (end - start)
+    src = im_src[src_start[1]:src_end[1], src_start[0]:src_end[0]]
+    if src.size == 0 or region.size == 0:
+        return
+    rgb = src[..., :3]
+    alpha = (src[..., 3:4].astype(np.float32) / 255.0)
+    im_dst[start[1]:end[1], start[0]:end[0]] = (
+        alpha * rgb + (1.0 - alpha) * region
+    )
+
+
+def resize_by_factor(im: np.ndarray, factor: float) -> np.ndarray:
+    new_size = tuple(
+        np.maximum(np.round(np.array([im.shape[1], im.shape[0]]) * factor), 1)
+        .astype(int)
+    )
+    interp = cv2.INTER_LINEAR if factor > 1.0 else cv2.INTER_AREA
+    return cv2.resize(im, new_size, fx=factor, fy=factor, interpolation=interp)
+
+
+def occlude_with_objects_kp(
+    im: np.ndarray,
+    kp2d_norm: np.ndarray,
+    scale: float,
+    occluders: list[np.ndarray],
+    rng: np.random.RandomState,
+    img_size: int = 224,
+) -> np.ndarray:
+    """Paste 1-7 occluders near visible GT keypoints.
+
+    Reference: occlude_with_pascal_objects_kp (occlusion.py:108-148):
+    pick random visible joints of the 24 GT keypoints, jitter the paste
+    center by 0.1*scale, scale occluders by a random factor relative to
+    the 256px reference size.
+
+    Args:
+        im: (H, W, 3) crop, float [0, 255].
+        kp2d_norm: (49, 3) keypoints in [-1, 1] crop coords + confidence.
+        scale: bbox scale (height/200).
+    """
+    result = im.copy()
+    im_w, im_h = im.shape[1], im.shape[0]
+    im_scale_factor = min(im_w, im_h) / 256.0
+    count = rng.randint(1, 8)
+
+    kp = kp2d_norm[25:].copy()
+    kp[:, :2] = 0.5 * img_size * (kp[:, :2] + 1.0)
+    visible = kp[kp[:, 2] > 0.3]
+    if len(visible) == 0 or len(occluders) == 0:
+        return result
+
+    for _ in range(count):
+        occ = occluders[rng.randint(len(occluders))]
+        x, y = visible[rng.randint(len(visible))][:2]
+        x = int(np.clip(x + rng.randn() * 0.1 * scale, 0, im_w))
+        y = int(np.clip(y + rng.randn() * 0.1 * scale, 0, im_h))
+        factor = rng.uniform(0.2, 1.0) * im_scale_factor + 1e-8
+        occ = resize_by_factor(occ, factor)
+        paste_over(occ, result, (x, y))
+    return result
+
+
+def load_pascal_occluders(pascal_voc_root_path: str) -> list[np.ndarray]:
+    """Extract segmented non-person occluder patches from a VOC root.
+
+    Reference: occlusion.py:43-98. Requires the VOC2012 layout
+    (Annotations/, SegmentationObject/, JPEGImages/).
+    """
+    import glob
+    import xml.etree.ElementTree as ET
+
+    occluders = []
+    seg_dir = os.path.join(pascal_voc_root_path, "SegmentationObject")
+    ann_dir = os.path.join(pascal_voc_root_path, "Annotations")
+    img_dir = os.path.join(pascal_voc_root_path, "JPEGImages")
+    structuring_element = np.ones((8, 8), np.uint8)
+
+    for ann_path in sorted(glob.glob(os.path.join(ann_dir, "*.xml"))):
+        root = ET.parse(ann_path).getroot()
+        is_segmented = root.find("segmented")
+        if is_segmented is None or is_segmented.text != "1":
+            continue
+        boxes = []
+        for i_obj, obj in enumerate(root.findall("object")):
+            name = obj.find("name").text
+            difficult = obj.find("difficult")
+            if name == "person" or (
+                difficult is not None and difficult.text == "1"
+            ):
+                continue
+            bb = obj.find("bndbox")
+            boxes.append(
+                (
+                    i_obj,
+                    [
+                        int(bb.find("xmin").text), int(bb.find("ymin").text),
+                        int(bb.find("xmax").text), int(bb.find("ymax").text),
+                    ],
+                )
+            )
+        if not boxes:
+            continue
+        stem = os.path.splitext(os.path.basename(ann_path))[0]
+        seg_path = os.path.join(seg_dir, stem + ".png")
+        jpg_path = os.path.join(img_dir, stem + ".jpg")
+        seg = cv2.imread(seg_path, cv2.IMREAD_GRAYSCALE)
+        img = cv2.imread(jpg_path)
+        if seg is None or img is None:
+            continue
+        img = img[:, :, ::-1]
+        for i_obj, (xmin, ymin, xmax, ymax) in boxes:
+            mask = (seg[ymin:ymax, xmin:xmax] == i_obj + 1).astype(np.uint8) * 255
+            if mask.size == 0:
+                continue
+            eroded = cv2.erode(mask, structuring_element)
+            if eroded.mean() < 0.20 * 255:  # too thin / noisy
+                continue
+            patch = img[ymin:ymax, xmin:xmax]
+            rgba = np.concatenate([patch, eroded[..., None]], axis=-1)
+            occluders.append(rgba.astype(np.uint8))
+    return occluders
+
+
+def synthetic_occluders(
+    n: int = 32, seed: int = 0, max_size: int = 80
+) -> list[np.ndarray]:
+    """Random colored elliptical patches — a stand-in occluder set that
+    keeps the augmentation path testable without VOC data."""
+    rng = np.random.RandomState(seed)
+    occluders = []
+    for _ in range(n):
+        h = rng.randint(16, max_size)
+        w = rng.randint(16, max_size)
+        patch = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        alpha = np.zeros((h, w), np.uint8)
+        cv2.ellipse(
+            alpha, (w // 2, h // 2), (w // 2 - 1, h // 2 - 1), 0, 0, 360,
+            255, -1,
+        )
+        occluders.append(np.dstack([patch, alpha]))
+    return occluders

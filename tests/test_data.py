@@ -1,0 +1,224 @@
+"""Data pipeline tests: npz dataset, transforms, mixing, occlusion."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from poco_tpu.data.dataset import (
+    DataLoader,
+    PocoDataset,
+    collate,
+    get_confident_frames,
+)
+from poco_tpu.data.mixed import (
+    RatioMixedDataset,
+    parse_datasets_and_ratios,
+    parse_stage_datasets,
+    spin_mixed_partition,
+    stage_for_epoch,
+)
+from poco_tpu.data.occlusion import (
+    occlude_with_objects_kp,
+    paste_over,
+    synthetic_occluders,
+)
+from poco_tpu.data.transforms import (
+    AugmentParams,
+    flip_keypoints,
+    flip_pose,
+    process_keypoints_2d,
+    process_pose,
+    rotate_axis_angle,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """A 6-image synthetic dataset with the reference npz schema."""
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.RandomState(0)
+    n = 6
+    names = []
+    for i in range(n):
+        img = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+        name = f"img_{i}.jpg"
+        cv2.imwrite(str(root / name), img)
+        names.append(name)
+    npz = root / "ann.npz"
+    np.savez(
+        npz,
+        imgname=np.array(names),
+        center=np.tile([64.0, 48.0], (n, 1)),
+        scale=np.full(n, 0.4),
+        pose=rng.uniform(-0.3, 0.3, (n, 72)),
+        shape=rng.uniform(-1, 1, (n, 10)),
+        S=rng.randn(n, 24, 4).astype(np.float32),
+        part=rng.rand(n, 24, 3).astype(np.float32) * 90,
+        openpose=np.zeros((n, 25, 3), np.float32),
+        gender=np.array(["m", "f", "m", "f", "m", "f"]),
+        has_smpl=np.ones(n),
+    )
+    return str(npz), str(root)
+
+
+class TestPocoDataset:
+    def test_item_schema(self, tiny_dataset):
+        npz, root = tiny_dataset
+        ds = PocoDataset(npz, img_dir=root, is_train=True)
+        assert len(ds) == 6
+        item = ds[0]
+        assert item["img"].shape == (224, 224, 3)
+        assert item["pose"].shape == (72,)
+        assert item["betas"].shape == (10,)
+        assert item["pose_3d"].shape == (24, 4)
+        assert item["keypoints"].shape == (49, 3)
+        assert item["keypoints_fullimg"].shape == (49, 3)
+        assert item["bbox_info"].shape == (3,)
+        assert item["has_smpl"] == 1.0
+        assert 0 <= item["img"].min() and item["img"].max() <= 255.0
+
+    def test_eval_mode_no_augmentation(self, tiny_dataset):
+        npz, root = tiny_dataset
+        ds = PocoDataset(npz, img_dir=root, is_train=False)
+        a = ds[1]
+        b = ds[1]
+        np.testing.assert_array_equal(a["img"], b["img"])
+        assert a["is_flipped"] == 0.0
+        assert a["rot_angle"] == 0.0
+
+    def test_collate_and_loader(self, tiny_dataset):
+        npz, root = tiny_dataset
+        ds = PocoDataset(npz, img_dir=root, is_train=False)
+        loader = DataLoader(ds, batch_size=3, shuffle=True, seed=1)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["img"].shape == (3, 224, 224, 3)
+        assert batches[0]["pose"].shape == (3, 72)
+        assert isinstance(batches[0]["dataset_name"], list)
+
+    def test_confident_frames(self):
+        var = np.zeros((10, 24), np.float32)
+        var[:, 0] = np.linspace(0, 1, 10)
+        sel = get_confident_frames(var, threshold=0.35)
+        assert list(sel) == [0, 1, 2, 3]
+
+    def test_ignore_3d(self, tiny_dataset):
+        npz, root = tiny_dataset
+        ds = PocoDataset(npz, img_dir=root, is_train=True, ignore_3d=True)
+        item = ds[0]
+        assert item["has_smpl"] == 0.0
+        assert item["has_pose_3d"] == 0.0
+
+
+class TestTransforms:
+    def test_flip_keypoints_swaps_left_right(self):
+        kp = np.zeros((24, 3), np.float32)
+        kp[2] = [0.5, 0.1, 1.0]   # Right Hip (J24 idx 2)
+        flipped = flip_keypoints(kp.copy())
+        # J24_FLIP_PERM maps idx 3 (Left Hip) <- idx 2, x negated
+        np.testing.assert_allclose(flipped[3], [-0.5, 0.1, 1.0])
+
+    def test_flip_pose_identity_twice(self):
+        rng = np.random.RandomState(0)
+        pose = rng.randn(72).astype(np.float32)
+        np.testing.assert_allclose(
+            flip_pose(flip_pose(pose.copy())), pose, atol=1e-6
+        )
+
+    def test_rotate_axis_angle_matches_rotmat(self):
+        aa = np.array([0.3, -0.2, 0.5])
+        out = rotate_axis_angle(aa, 40.0)
+        r_in, _ = cv2.Rodrigues(aa)
+        rad = np.deg2rad(-40.0)
+        rz = np.array(
+            [[np.cos(rad), -np.sin(rad), 0],
+             [np.sin(rad), np.cos(rad), 0], [0, 0, 1]]
+        )
+        r_out, _ = cv2.Rodrigues(out.astype(np.float64))
+        np.testing.assert_allclose(r_out, rz @ r_in, atol=1e-6)
+
+    def test_j2d_processing_normalized_range(self):
+        rng = np.random.RandomState(1)
+        kp = np.concatenate(
+            [rng.rand(49, 2) * 200, np.ones((49, 1))], axis=1
+        ).astype(np.float32)
+        out = process_keypoints_2d(
+            kp, np.array([100.0, 100.0]), 1.0, AugmentParams()
+        )
+        assert out.shape == (49, 3)
+        # center point maps to crop center -> 0 in normalized coords
+        mid = process_keypoints_2d(
+            np.array([[100.0, 100.0, 1.0]]),
+            np.array([100.0, 100.0]), 1.0, AugmentParams(),
+        )
+        np.testing.assert_allclose(mid[0, :2], [0.0, 0.0], atol=0.02)
+
+    def test_process_pose_flip_only_perm(self):
+        pose = np.zeros(72, np.float32)
+        pose[3 * 1] = 1.0  # left hip x-rotation
+        out = process_pose(pose, AugmentParams(flip=True))
+        assert out[3 * 2] == 1.0  # moved to right hip
+
+
+class TestMixed:
+    def test_parse_ratios(self):
+        names, ratios = parse_datasets_and_ratios("h36m_coco_0.6_0.4")
+        assert names == ["h36m", "coco"]
+        assert ratios == [0.6, 0.4]
+
+    def test_stage_parsing(self):
+        stages = parse_stage_datasets("0+h36m_1.0,10+h36m_coco_0.5_0.5")
+        assert stages == {0: "h36m_1.0", 10: "h36m_coco_0.5_0.5"}
+        assert stage_for_epoch(stages, 5) == "h36m_1.0"
+        assert stage_for_epoch(stages, 10) == "h36m_coco_0.5_0.5"
+        assert stage_for_epoch(stages, 50) == "h36m_coco_0.5_0.5"
+
+    def test_ratio_sampling(self):
+        class Stub:
+            def __init__(self, tag, n):
+                self.tag, self.n = tag, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return self.tag
+
+        ds = RatioMixedDataset([Stub("a", 10), Stub("b", 20)], [0.8, 0.2], seed=0)
+        assert len(ds) == 20
+        draws = [ds[i] for i in range(500)]
+        frac_a = draws.count("a") / len(draws)
+        assert 0.7 < frac_a < 0.9
+
+    def test_spin_partition_sums_to_one(self):
+        part = spin_mixed_partition([100, 10, 20, 30, 40, 50])
+        np.testing.assert_allclose(sum(part), 1.0, atol=1e-9)
+
+
+class TestOcclusion:
+    def test_paste_over_blends(self):
+        dst = np.zeros((20, 20, 3), np.float32)
+        src = np.zeros((6, 6, 4), np.uint8)
+        src[..., 0] = 200
+        src[..., 3] = 255
+        paste_over(src, dst, (10, 10))
+        assert dst[10, 10, 0] == 200.0
+        assert dst[0, 0, 0] == 0.0
+
+    def test_paste_partial_out_of_bounds(self):
+        dst = np.zeros((20, 20, 3), np.float32)
+        src = np.full((8, 8, 4), 255, np.uint8)
+        paste_over(src, dst, (0, 0))  # mostly off-image
+        assert dst[0, 0, 0] == 255.0
+
+    def test_occlude_with_keypoints(self):
+        rng = np.random.RandomState(0)
+        img = np.full((224, 224, 3), 100.0, np.float32)
+        kp = np.zeros((49, 3), np.float32)
+        kp[30] = [0.0, 0.0, 1.0]  # visible GT joint at crop center
+        occluders = synthetic_occluders(4, seed=1)
+        out = occlude_with_objects_kp(img, kp, 1.0, occluders, rng)
+        assert out.shape == img.shape
+        assert not np.allclose(out, img)  # something was pasted
