@@ -226,6 +226,7 @@ class PocoDataset:
             "gender": np.int32(self.gender[index]),
             "sample_index": np.int32(index),
             "dataset_name": self.dataset_name,
+            "imgname": str(self.imgname[index]),
         }
         return item
 
