@@ -1,0 +1,303 @@
+"""Training orchestration: the reference LitModule, re-expressed as a
+plain JAX loop.
+
+Reference contract: pocolib/core/trainer.py:28-708. Responsibilities and
+their TPU-native forms:
+
+  * model/loss/dataset construction from the hparams tree;
+  * per-epoch stage curricula (STAGE_DATASETS) via dataset factories;
+  * freeze schedules (FREEZE_PARAMS): the optimizer is rebuilt at the
+    scheduled epochs with zero-LR partitions (reference rebuilds the
+    torch optimizer, trainer.py:192-208);
+  * GT-pose-conditioning row selection, done host-side per batch
+    (reference poco_head.py:101-107 does numpy string matching);
+  * data-parallel SPMD steps over the device mesh (replaces PL DDP);
+  * validation -> composite best-model criterion
+    0.5*(1.5*PA-MPJPE + MPJPE) with uncertainty-correlation tie-break
+    (trainer.py:407-442);
+  * orbax checkpointing + resume, JSONL metric logs, per-epoch val
+    accuracy history (trainer.py:704-708), crops/sec telemetry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    CfgNode,
+    loss_config_from_hparams,
+    model_config_from_hparams,
+    parse_freeze_params,
+    parse_module_lr,
+)
+from ..models.poco import POCO, init_poco
+from ..ops.preprocess import normalize_image
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..smpl.lbs import SmplParams
+from .state import TrainState, create_train_state, make_optimizer
+from .step import best_model_metric, make_train_step
+
+
+def select_gt_pose_cond(
+    dataset_names: list[str], cond_ds: str, ratio: float
+) -> np.ndarray:
+    """Boolean mask of rows whose uncert-head input is swapped to GT pose.
+
+    Reference: poco_head.py:101-107 — the first `ratio` fraction of the
+    rows belonging to `cond_ds` ('all' = every row).
+    """
+    names = np.asarray([str(n) for n in dataset_names])
+    mask = np.zeros(len(names), bool)
+    if cond_ds == "all":
+        mask[:] = True
+        return mask
+    idx = np.nonzero(names == cond_ds)[0]
+    idx = idx[: int(ratio * len(idx))]
+    mask[idx] = True
+    return mask
+
+
+class Trainer:
+    """End-to-end training driver.
+
+    Args:
+        hparams: config tree (poco_tpu.config).
+        smpl: neutral SMPL weights used for GT generation + prediction.
+        train_dataset_fn: (epoch) -> dataset; called per epoch so stage
+            curricula can swap datasets (STAGE_DATASETS).
+        val_dataset: evaluation dataset (or None).
+    """
+
+    def __init__(
+        self,
+        hparams: CfgNode,
+        smpl: SmplParams,
+        train_dataset_fn: Callable[[int], Any],
+        val_dataset: Any = None,
+        smpl_male: SmplParams | None = None,
+        smpl_female: SmplParams | None = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.hparams = hparams
+        self.smpl = smpl
+        self.smpl_male = smpl_male or smpl
+        self.smpl_female = smpl_female or smpl
+        self.train_dataset_fn = train_dataset_fn
+        self.val_dataset = val_dataset
+        self.mesh = mesh or make_mesh()
+        self.logdir = hparams.LOG_DIR
+        os.makedirs(self.logdir, exist_ok=True)
+
+        self.model = POCO(cfg=model_config_from_hparams(hparams))
+        self.loss_cfg = loss_config_from_hparams(hparams)
+        self.module_lr = parse_module_lr(hparams.OPTIMIZER.MODULE_LR)
+        self.freeze_schedule = parse_freeze_params(
+            hparams.TRAINING.FREEZE_PARAMS
+        )
+
+        rng = jax.random.PRNGKey(
+            hparams.SEED_VALUE if hparams.SEED_VALUE >= 0 else seed
+        )
+        self.rng, init_rng = jax.random.split(rng)
+        variables = init_poco(self.model, init_rng, smpl)
+        tx = self._make_tx(frozen=tuple(self.freeze_schedule.get(0, ())))
+        self.state = create_train_state(self.model, variables, tx)
+        self.train_step = make_train_step(self.model, self.loss_cfg)
+
+        self.best_metric = float("inf")
+        self.best_corr = -float("inf")
+        self.epoch = 0
+        self.val_history: list[dict] = []
+        self._metrics_file = open(
+            os.path.join(self.logdir, "metrics.jsonl"), "a"
+        )
+
+    # ------------------------------------------------------------------
+    def _make_tx(self, frozen: tuple[str, ...]):
+        h = self.hparams.OPTIMIZER
+        clip = self.hparams.TRAINING.GRAD_CLIP_VAL or None
+        return make_optimizer(
+            lr=h.LR, weight_decay=h.WD, module_lr=self.module_lr,
+            frozen_modules=frozen, grad_clip=clip,
+        )
+
+    def _apply_freeze_schedule(self, epoch: int) -> None:
+        if epoch not in self.freeze_schedule:
+            return
+        frozen = tuple(self.freeze_schedule[epoch])
+        tx = self._make_tx(frozen)
+        # Rebuild the optimizer (reference trainer.py:192-208 re-creates
+        # it when the freeze set changes; optimizer state restarts).
+        self.state = self.state.replace(
+            tx=tx, opt_state=tx.init(self.state.params)
+        )
+        self._log({"event": "freeze", "epoch": epoch, "frozen": list(frozen)})
+
+    def _log(self, record: dict) -> None:
+        record["time"] = time.time()
+        self._metrics_file.write(json.dumps(record) + "\n")
+        self._metrics_file.flush()
+
+    def _device_batch(self, host_batch: dict) -> dict:
+        p = self.hparams.POCO
+        cond_mask = select_gt_pose_cond(
+            host_batch.get("dataset_name", []),
+            p.GT_POSE_COND_DS, p.GT_POSE_COND_RATIO,
+        ) if (self.hparams.METHOD == "poco" and p.GT_POSE_COND) else None
+
+        batch = {
+            k: v for k, v in host_batch.items() if not isinstance(v, list)
+        }
+        if cond_mask is not None:
+            batch["gt_pose_cond_mask"] = cond_mask
+        sharded = shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+        )
+        sharded["img"] = normalize_image(sharded["img"])
+        return sharded
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        from ..data.dataset import DataLoader
+
+        self._apply_freeze_schedule(epoch)
+        dataset = self.train_dataset_fn(epoch)
+        loader = DataLoader(
+            dataset,
+            batch_size=self.hparams.DATASET.BATCH_SIZE,
+            shuffle=self.hparams.DATASET.SHUFFLE_TRAIN,
+            seed=epoch,
+        )
+        n_crops = 0
+        t0 = time.perf_counter()
+        last_metrics: dict[str, float] = {}
+        with self.mesh:
+            state = replicate_tree(self.state, self.mesh)
+            smpl = replicate_tree(self.smpl, self.mesh)
+            for step_i, host_batch in enumerate(loader):
+                batch = self._device_batch(host_batch)
+                self.rng, step_rng = jax.random.split(self.rng)
+                state, metrics = self.train_step(
+                    state, batch, smpl, step_rng
+                )
+                n_crops += host_batch["img"].shape[0]
+                if step_i % self.hparams.TRAINING.LOG_SAVE_INTERVAL == 0:
+                    last_metrics = {
+                        k: float(v) for k, v in metrics.items()
+                    }
+                    self._log(
+                        {"epoch": epoch, "step": step_i, **last_metrics}
+                    )
+            self.state = state
+        dt = time.perf_counter() - t0
+        last_metrics["crops_per_sec"] = n_crops / max(dt, 1e-9)
+        return last_metrics
+
+    def validate(self, epoch: int) -> dict[str, float]:
+        from ..eval.runner import run_eval
+
+        if self.val_dataset is None:
+            return {}
+        result = run_eval(
+            self.model, self.state.variables, self.val_dataset,
+            smpl_neutral=self.smpl, smpl_male=self.smpl_male,
+            smpl_female=self.smpl_female,
+            batch_size=self.hparams.DATASET.BATCH_SIZE,
+            mesh=self.mesh,
+            loss_ver=self.hparams.POCO.LOSS_VER,
+        )
+        summary = result.summary()
+        summary["epoch"] = epoch
+        self.val_history.append(summary)
+        with open(os.path.join(self.logdir, "val_accuracy.json"), "w") as f:
+            json.dump(self.val_history, f, indent=1)
+        self._log({"event": "val", **summary})
+
+        # Best-model selection (reference trainer.py:407-442): lower
+        # composite metric wins; on a near-tie, higher uncert-error
+        # correlation wins.
+        metric = summary["best_model_metric"]
+        corr = summary.get("uncert_mpjpe_corr", 0.0)
+        is_best = metric < self.best_metric or (
+            abs(metric - self.best_metric) < 0.1 and corr > self.best_corr
+        )
+        if is_best:
+            self.best_metric = min(metric, self.best_metric)
+            self.best_corr = max(corr, self.best_corr)
+            self.save_checkpoint("best_model")
+            if self.hparams.TESTING.SAVE_RESULTS:
+                self._dump_results(result, epoch)
+        return summary
+
+    def _dump_results(self, result, epoch: int) -> None:
+        """Per-sample eval dump (reference save_results.py:45-93)."""
+        import joblib
+
+        payload = {
+            "imgname": result.imgnames,
+            "mpjpe": result.mpjpe_mm,
+            "pampjpe": result.pa_mpjpe_mm,
+            "v2v": result.v2v_mm,
+            "uncert": result.uncert,
+            "epoch": epoch,
+        }
+        ds = self.hparams.DATASET.VAL_DS
+        joblib.dump(
+            payload,
+            os.path.join(self.logdir, f"evaluation_results_{ds}.pkl"),
+        )
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: str = "checkpoint") -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.logdir, name))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "buffers": self.state.buffers,
+            "step": self.state.step,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "buffers": self.state.buffers,
+            "step": self.state.step,
+        }
+        restored = ckptr.restore(os.path.abspath(path), template)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            buffers=restored["buffers"],
+            step=restored["step"],
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self, max_epochs: int | None = None) -> dict:
+        max_epochs = max_epochs or self.hparams.TRAINING.MAX_EPOCHS
+        check_every = self.hparams.TRAINING.CHECK_VAL_EVERY_N_EPOCH
+        summary = {}
+        for epoch in range(self.epoch, max_epochs):
+            self.epoch = epoch
+            train_metrics = self.train_epoch(epoch)
+            self._log({"event": "epoch_end", "epoch": epoch, **train_metrics})
+            if (epoch + 1) % check_every == 0:
+                summary = self.validate(epoch)
+            self.save_checkpoint("last")
+        return summary

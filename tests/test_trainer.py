@@ -1,0 +1,226 @@
+"""End-to-end training tests: loss goes down, freeze schedules, ckpt/resume."""
+
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poco_tpu.config import get_hparams_defaults
+from poco_tpu.losses.losses import LossConfig, masked_mean, poco_loss
+from poco_tpu.models.poco import build_poco_cliff, init_poco, make_dummy_batch
+from poco_tpu.smpl.assets import synthetic_smpl_model
+from poco_tpu.train.state import create_train_state, make_optimizer, module_label_tree
+from poco_tpu.train.step import make_train_step, prepare_gt
+from poco_tpu.train.trainer import Trainer, select_gt_pose_cond
+
+
+def _train_batch(b=4, seed=0):
+    rng = np.random.RandomState(seed)
+    batch = make_dummy_batch(build_poco_cliff().cfg, b, include_gt=True)
+    batch = {k: v for k, v in batch.items() if k != "gt_pose_rotmat"}
+    batch.update(
+        img=jnp.asarray(rng.randn(b, 224, 224, 3), jnp.float32),
+        pose=jnp.asarray(0.2 * rng.randn(b, 72), jnp.float32),
+        betas=jnp.asarray(0.5 * rng.randn(b, 10), jnp.float32),
+        has_smpl=jnp.ones((b,), jnp.float32),
+        has_pose_3d=jnp.ones((b,), jnp.float32),
+        keypoints=jnp.asarray(rng.rand(b, 49, 3), jnp.float32),
+        gt_pose_cond_mask=jnp.zeros((b,), bool),
+    )
+    return batch
+
+
+class TestLosses:
+    def test_masked_mean_empty_mask_is_zero(self):
+        x = jnp.ones((4, 3))
+        assert float(masked_mean(x, jnp.zeros(4))) == 0.0
+
+    def test_masked_mean_selects_rows(self):
+        x = jnp.asarray([[1.0], [3.0], [5.0], [7.0]])
+        m = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        assert float(masked_mean(x, m)) == 3.0
+
+    def test_poco_loss_finite_and_structured(self):
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        batch = _train_batch()
+        gt = prepare_gt(batch, smpl)
+        out, _ = model.apply(
+            variables, {**batch, "gt_pose_rotmat": gt["gt_pose_rotmat"]},
+            smpl, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        loss, loss_dict = poco_loss(out, gt, LossConfig())
+        assert np.isfinite(float(loss))
+        for key in (
+            "loss/loss_keypoints", "loss/loss_keypoints_3d",
+            "loss/loss_regr_pose", "loss/loss_regr_betas",
+            "loss/loss_cam", "loss/loss_nf", "loss/total_loss",
+        ):
+            assert key in loss_dict and np.isfinite(float(loss_dict[key]))
+
+    def test_no_smpl_rows_zero_pose_loss(self):
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        batch = _train_batch()
+        batch["has_smpl"] = jnp.zeros((4,), jnp.float32)
+        gt = prepare_gt(batch, smpl)
+        out, _ = model.apply(
+            variables, {**batch, "gt_pose_rotmat": gt["gt_pose_rotmat"]},
+            smpl, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        _, loss_dict = poco_loss(out, gt, LossConfig())
+        assert float(loss_dict["loss/loss_regr_betas"]) == 0.0
+
+
+class TestOptimizer:
+    def test_module_labels(self):
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        labels = module_label_tree(variables["params"])
+        flat = jax.tree.leaves(labels)
+        assert set(flat) <= {
+            "backbone_net", "head", "uncert_head", "flow_head", "other"
+        }
+
+    def test_frozen_module_gets_no_update(self):
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        tx = make_optimizer(lr=1e-3, frozen_modules=("backbone_net",))
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, LossConfig(), donate=False)
+        batch = _train_batch()
+        new_state, _ = step(state, batch, smpl, jax.random.PRNGKey(2))
+
+        old_bb = jax.tree.leaves(state.params["backbone_net"])
+        new_bb = jax.tree.leaves(new_state.params["backbone_net"])
+        for a, b in zip(old_bb, new_bb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # head moved
+        old_h = jax.tree.leaves(state.params["head"])
+        new_h = jax.tree.leaves(new_state.params["head"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(old_h, new_h)
+        )
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfitting_one_batch(self):
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        tx = make_optimizer(lr=3e-4)
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, LossConfig(), donate=False)
+        batch = _train_batch()
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(8):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, smpl, sub)
+            losses.append(float(metrics["loss/total_loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+
+class TestGtPoseCond:
+    def test_ratio_selection(self):
+        names = ["h36m"] * 8 + ["coco"] * 4
+        mask = select_gt_pose_cond(names, "h36m", 0.25)
+        assert mask.sum() == 2
+        assert mask[:2].all() and not mask[8:].any()
+
+    def test_all_mode(self):
+        assert select_gt_pose_cond(["a", "b"], "all", 0.1).all()
+
+
+class _ArrayDataset:
+    """In-memory dataset with the PocoDataset item contract."""
+
+    def __init__(self, n=8, seed=0):
+        self.n = n
+        self.rng = np.random.RandomState(seed)
+        self.items = []
+        for i in range(n):
+            self.items.append(
+                {
+                    "img": self.rng.rand(224, 224, 3).astype(np.float32) * 255,
+                    "pose": (0.2 * self.rng.randn(72)).astype(np.float32),
+                    "betas": (0.5 * self.rng.randn(10)).astype(np.float32),
+                    "pose_3d": self.rng.randn(24, 4).astype(np.float32),
+                    "keypoints": self.rng.rand(49, 3).astype(np.float32),
+                    "keypoints_fullimg": self.rng.rand(49, 3).astype(np.float32) * 500,
+                    "has_smpl": np.float32(1.0),
+                    "has_pose_3d": np.float32(1.0),
+                    "scale": np.float32(1.0),
+                    "center": np.array([500.0, 400.0], np.float32),
+                    "orig_shape": np.array([800.0, 1000.0], np.float32),
+                    "focal_length": np.float32(1280.0),
+                    "bbox_info": self.rng.randn(3).astype(np.float32),
+                    "gender": np.int32(i % 2),
+                    "sample_index": np.int32(i),
+                    "dataset_name": "h36m",
+                    "imgname": f"img_{i}.jpg",
+                }
+            )
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class TestTrainerEndToEnd:
+    def test_fit_validate_checkpoint_resume(self, tmp_path):
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.METHOD = "poco"
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.POCO.GT_POSE_COND = True
+        h.DATASET.BATCH_SIZE = 8
+        h.TRAINING.MAX_EPOCHS = 1
+        h.TRAINING.LOG_SAVE_INTERVAL = 1
+        h.TRAINING.FREEZE_PARAMS = "0-backbone"
+        h.TESTING.SAVE_RESULTS = True
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        ds = _ArrayDataset(n=16)
+        trainer = Trainer(
+            h, smpl,
+            train_dataset_fn=lambda epoch: ds,
+            val_dataset=_ArrayDataset(n=8, seed=1),
+        )
+        summary = trainer.fit(max_epochs=1)
+        assert "best_model_metric" in summary
+        assert os.path.exists(os.path.join(h.LOG_DIR, "val_accuracy.json"))
+        assert os.path.exists(os.path.join(h.LOG_DIR, "metrics.jsonl"))
+        assert os.path.exists(
+            os.path.join(h.LOG_DIR, "evaluation_results_3dpw.pkl")
+        )
+        assert os.path.exists(os.path.join(h.LOG_DIR, "best_model"))
+
+        # Resume: load the checkpoint into a fresh trainer.
+        trainer2 = Trainer(
+            h, smpl, train_dataset_fn=lambda e: ds, val_dataset=None
+        )
+        trainer2.load_checkpoint(os.path.join(h.LOG_DIR, "best_model"))
+        a = jax.tree.leaves(trainer.state.params)
+        b = jax.tree.leaves(trainer2.state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
