@@ -1,0 +1,391 @@
+"""Demo runtime: image-folder and video inference with rendering.
+
+Reference contract: pocolib/core/tester.py:54-580 (POCOTester). TPU-first
+redesign:
+
+  * the folder path runs detection host-side, then crops, normalization
+    and the POCO forward execute as one jitted XLA program per padded
+    batch (fused preprocessing — BASELINE.json north star — replacing
+    tester.py:171-212's per-detection numpy/torch hops);
+  * batches are padded to a fixed size so varying person counts never
+    recompile (SURVEY.md §7.3);
+  * stage caching (detections/tracklets) is preserved so reruns skip
+    straight to inference (reference demo.py:125-131).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+import time
+from typing import Any
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode, model_config_from_hparams
+from ..constants import IMG_RES
+from ..models.poco import POCO, init_poco
+from ..ops.preprocess import normalize_image, preprocess_crops
+from ..smpl.lbs import SmplParams
+from ..utils.demo_utils import (
+    convert_crop_cam_to_orig_img,
+    convert_crop_coords_to_orig_img,
+    prepare_rendering_results,
+)
+from ..eval.uncertainty import global_uncert, prepare_uncert
+from ..viz.renderer import Renderer, get_vertex_colors
+from .tracker import Detector, full_frame_detector, run_tracking
+from ..data.inference import InferenceDataset, images_in_folder
+
+
+class PocoTester:
+    """Folder/video demo driver.
+
+    Args:
+        hparams: config tree (config.update_hparams output).
+        smpl: SMPL weights.
+        variables: model variables (e.g. restored checkpoint); if None a
+            fresh initialization is used (random weights — for pipeline
+            testing).
+        detector: person detector callable; defaults to the full-frame
+            fallback (see demo.tracker for the contract).
+        batch_size: padded batch size for inference.
+    """
+
+    def __init__(
+        self,
+        hparams: CfgNode,
+        smpl: SmplParams,
+        variables: dict | None = None,
+        detector: Detector = full_frame_detector,
+        batch_size: int = 32,
+    ):
+        self.hparams = hparams
+        self.smpl = smpl
+        self.detector = detector
+        self.batch_size = batch_size
+        self.model = POCO(cfg=model_config_from_hparams(hparams))
+        if variables is None:
+            variables = init_poco(self.model, jax.random.PRNGKey(0), smpl)
+        self.variables = variables
+        self.renderer = Renderer(np.asarray(smpl.faces))
+        self.backbone = self.model.cfg.backbone
+        self.loss_ver = self.model.cfg.loss_ver
+
+        model = self.model
+
+        @jax.jit
+        def _forward(variables, batch, smpl_params):
+            return model.apply(variables, batch, smpl_params, train=False)
+
+        self._forward = _forward
+
+    # ------------------------------------------------------------------
+    def _run_batches(self, batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        """Forward a host batch in fixed-size padded chunks."""
+        n = batch["img"].shape[0]
+        outs: dict[str, list] = {}
+        for s in range(0, n, self.batch_size):
+            chunk = {k: v[s : s + self.batch_size] for k, v in batch.items()}
+            valid = chunk["img"].shape[0]
+            if valid < self.batch_size:
+                pad = self.batch_size - valid
+                chunk = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                    for k, v in chunk.items()
+                }
+            dev = {k: jnp.asarray(v) for k, v in chunk.items()}
+            dev["img"] = normalize_image(dev["img"])
+            out = self._forward(self.variables, dev, self.smpl)
+            for k in (
+                "smpl_vertices", "smpl_joints3d", "smpl_joints2d",
+                "pred_pose", "pred_shape", "pred_cam", "var_pose",
+            ):
+                if out.get(k) is not None:
+                    outs.setdefault(k, []).append(np.asarray(out[k])[:valid])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    def _prep_uncert(self, out: dict) -> tuple[np.ndarray | None, np.ndarray | None]:
+        if "var_pose" not in out:
+            return None, None
+        var = prepare_uncert(out["var_pose"], loss_ver=self.loss_ver)
+        var = np.clip(var, 0.0, 1.0)
+        gvar = global_uncert(var.copy(), backbone=self.backbone)
+        return var, gvar
+
+    # ------------------------------------------------------------------
+    def run_detector(self, image_files: list[str]) -> list[np.ndarray]:
+        """Per-image detections (reference tester.py:140-151)."""
+        return [
+            self.detector(cv2.imread(p)[:, :, ::-1]) for p in image_files
+        ]
+
+    def run_on_image_folder(
+        self,
+        image_folder: str,
+        output_folder: str | None = None,
+        detections: list[np.ndarray] | None = None,
+        render: bool = True,
+        sideview: bool = False,
+        save_obj: bool = False,
+        uncert_color: bool = True,
+    ) -> list[dict[str, Any]]:
+        """Folder demo (reference tester.py:153-360).
+
+        For each image: detect people, run the fused crop->forward XLA
+        program over all detections at once, convert cameras/keypoints to
+        original-image coords, optionally render overlays.
+        """
+        image_files = images_in_folder(image_folder)
+        if detections is None:
+            detections = self.run_detector(image_files)
+        if output_folder:
+            os.makedirs(output_folder, exist_ok=True)
+
+        results = []
+        t0 = time.perf_counter()
+        n_crops = 0
+        for img_path, dets in zip(image_files, detections):
+            img = cv2.imread(img_path)[:, :, ::-1]
+            dets = np.atleast_2d(np.asarray(dets, np.float32))
+            if dets.size == 0:
+                results.append({})
+                continue
+            centers = dets[:, :2]
+            scales = np.maximum(dets[:, 2], dets[:, 3]) * 1.0 / 200.0
+            n = len(dets)
+            n_crops += n
+
+            # Pad the detection count to a multiple of 8 so varying
+            # person counts reuse the same compiled program.
+            n_pad = -(-n // 8) * 8
+            centers_p = np.concatenate(
+                [centers, np.repeat(centers[-1:], n_pad - n, axis=0)]
+            )
+            scales_p = np.concatenate(
+                [scales, np.repeat(scales[-1:], n_pad - n)]
+            )
+
+            # Fused on-device preprocessing + forward (crops already
+            # normalized by preprocess_crops).
+            batch = preprocess_crops(
+                jnp.asarray(np.ascontiguousarray(img)),
+                jnp.asarray(centers_p),
+                jnp.asarray(scales_p),
+            )
+            out_dev = self._forward(self.variables, batch, self.smpl)
+            out = {
+                k: np.asarray(v)[:n]
+                for k, v in out_dev.items()
+                if v is not None and hasattr(v, "shape")
+            }
+
+            var, gvar = self._prep_uncert(out)
+            h, w = img.shape[:2]
+            bbox_chw = np.concatenate(
+                [centers, (scales * 200.0)[:, None]], axis=1
+            )
+            orig_cam = convert_crop_cam_to_orig_img(
+                out["pred_cam"], bbox_chw, w, h
+            )
+            # CLIFF joints2d are already full-image pixel coords
+            # (tester.py:216-233 skips the conversion for cliff heads).
+            if "cliff" in self.backbone:
+                joints2d_orig = out["smpl_joints2d"]
+            else:
+                joints2d_orig = convert_crop_coords_to_orig_img(
+                    bbox_chw, out["smpl_joints2d"], IMG_RES
+                )
+
+            result = {
+                "verts": out["smpl_vertices"],
+                "pred_cam": out["pred_cam"],
+                "orig_cam": orig_cam,
+                "pose": out["pred_pose"],
+                "betas": out["pred_shape"],
+                "joints3d": out["smpl_joints3d"],
+                "smpl_joints2d": joints2d_orig,
+                "bboxes": dets,
+                "var": var,
+                "var_global": gvar,
+            }
+            results.append(result)
+
+            if render and output_folder:
+                frame = img.copy()
+                for pi in range(n):
+                    vc = None
+                    if uncert_color and var is not None:
+                        vc = get_vertex_colors(
+                            var[pi].copy(),
+                            np.asarray(self.smpl.lbs_weights),
+                            backbone=self.backbone,
+                        )
+                    frame = self.renderer.render(
+                        frame, result["verts"][pi], orig_cam[pi],
+                        vertex_colors=vc,
+                    )
+                    if save_obj:
+                        from ..viz.renderer import save_obj as _save_obj
+
+                        _save_obj(
+                            osp.join(
+                                output_folder,
+                                f"{osp.basename(img_path)}_{pi}.obj",
+                            ),
+                            result["verts"][pi],
+                            np.asarray(self.smpl.faces),
+                        )
+                out_path = osp.join(output_folder, osp.basename(img_path))
+                cv2.imwrite(out_path, frame[:, :, ::-1])
+                if sideview and n > 0:
+                    side = self.renderer.render_sideview(
+                        result["verts"][0], orig_cam[0]
+                    )
+                    cv2.imwrite(
+                        out_path.rsplit(".", 1)[0] + "_side.png",
+                        side[:, :, ::-1],
+                    )
+        dt = time.perf_counter() - t0
+        if n_crops:
+            self.last_fps = n_crops / dt
+        return results
+
+    # ------------------------------------------------------------------
+    def run_tracking(
+        self, image_folder: str, cache_file: str | None = None
+    ) -> dict[int, dict]:
+        """Track people across frames, with pkl stage caching
+        (reference demo.py:125-131)."""
+        if cache_file and osp.exists(cache_file):
+            with open(cache_file, "rb") as f:
+                return pickle.load(f)
+        tracks = run_tracking(
+            images_in_folder(image_folder), self.detector
+        )
+        if cache_file:
+            with open(cache_file, "wb") as f:
+                pickle.dump(tracks, f)
+        return tracks
+
+    def run_on_video(
+        self,
+        image_folder: str,
+        tracks: dict[int, dict] | None = None,
+        smooth: bool = False,
+        min_cutoff: float = 0.004,
+        beta: float = 0.7,
+    ) -> dict[int, dict]:
+        """Video demo over extracted frames (reference tester.py:362-480).
+
+        Returns dict[person_id] with per-frame arrays verts/pose/betas/
+        cams/joints/uncertainty, ready for `render_results`.
+        """
+        if tracks is None:
+            tracks = self.run_tracking(image_folder)
+        image_files = images_in_folder(image_folder)
+        if not image_files:
+            return {}
+        first = cv2.imread(image_files[0])
+        h, w = first.shape[:2]
+
+        results: dict[int, dict] = {}
+        for person_id, track in tracks.items():
+            dataset = InferenceDataset(
+                image_folder, frames=track["frames"], bboxes=track["bbox"]
+            )
+            items = [dataset[i] for i in range(len(dataset))]
+            if not items:
+                continue
+            batch = {
+                k: np.stack([it[k] for it in items])
+                for k in items[0]
+                if k != "frame_id"
+            }
+            out = self._run_batches(batch)
+            var, gvar = self._prep_uncert(out)
+
+            if smooth:
+                from ..utils.smooth_pose import smooth_pose
+
+                verts, pose_hat, joints3d = smooth_pose(
+                    out["pred_pose"], out["pred_shape"], self.smpl,
+                    min_cutoff=min_cutoff, beta=beta,
+                )
+                out["smpl_vertices"] = verts
+                out["pred_pose"] = pose_hat
+                out["smpl_joints3d"] = joints3d
+
+            bbox_chw = np.concatenate(
+                [batch["center"], (batch["scale"] * 200.0)[:, None]], axis=1
+            )
+            orig_cam = convert_crop_cam_to_orig_img(
+                out["pred_cam"], bbox_chw, w, h
+            )
+            if "cliff" in self.backbone:
+                joints2d_orig = out["smpl_joints2d"]
+            else:
+                joints2d_orig = convert_crop_coords_to_orig_img(
+                    bbox_chw, out["smpl_joints2d"], IMG_RES
+                )
+
+            results[person_id] = {
+                "verts": out["smpl_vertices"],
+                "pose": out["pred_pose"],
+                "betas": out["pred_shape"],
+                "pred_cam": out["pred_cam"],
+                "orig_cam": orig_cam,
+                "joints3d": out["smpl_joints3d"],
+                "smpl_joints2d": joints2d_orig,
+                "frame_ids": track["frames"],
+                "bboxes": track["bbox"],
+                "var": var if var is not None else np.zeros(1),
+                "var_global": gvar if gvar is not None else np.zeros(1),
+            }
+        return results
+
+    def render_results(
+        self,
+        results: dict[int, dict],
+        image_folder: str,
+        output_folder: str,
+        uncert_color: bool = True,
+        wireframe: bool = False,
+        uncert_log: str | None = None,
+    ) -> None:
+        """Depth-sorted per-frame rendering (reference tester.py:482-580)."""
+        image_files = images_in_folder(image_folder)
+        os.makedirs(output_folder, exist_ok=True)
+        frame_results = prepare_rendering_results(results, len(image_files))
+        log_lines = []
+
+        for frame_id, img_path in enumerate(image_files):
+            img = cv2.imread(img_path)[:, :, ::-1]
+            frame = img.copy()
+            for person_id, data in frame_results[frame_id].items():
+                vc = None
+                if uncert_color and data.get("var") is not None:
+                    vc = get_vertex_colors(
+                        np.array(data["var"], copy=True),
+                        np.asarray(self.smpl.lbs_weights),
+                        backbone=self.backbone,
+                    )
+                frame = self.renderer.render(
+                    frame, data["verts"], data["cam"],
+                    vertex_colors=vc, wireframe=wireframe,
+                )
+                if data.get("var_global") is not None:
+                    log_lines.append(
+                        f"{frame_id} {person_id} {float(data['var_global']):.4f}"
+                    )
+            cv2.imwrite(
+                osp.join(output_folder, f"{frame_id:06d}.png"),
+                frame[:, :, ::-1],
+            )
+        if uncert_log:
+            with open(uncert_log, "w") as f:
+                f.write("\n".join(log_lines))

@@ -1,0 +1,122 @@
+"""Demo pipeline utilities: video IO, camera/keypoint coordinate
+conversions, depth-sorted render preparation.
+
+Reference contract: pocolib/utils/demo_utils.py:183-315. ffmpeg stays a
+host subprocess; the coordinate conversions are pure numpy.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import subprocess
+from collections import OrderedDict
+
+import numpy as np
+
+
+def video_to_images(
+    vid_file: str, img_folder: str | None = None, return_info: bool = False
+):
+    """Extract frames with ffmpeg (reference demo_utils.py:183-208)."""
+    if img_folder is None:
+        img_folder = osp.join(
+            "/tmp", osp.basename(vid_file).replace(".", "_")
+        )
+    os.makedirs(img_folder, exist_ok=True)
+    command = [
+        "ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error",
+        f"{img_folder}/%06d.png",
+    ]
+    subprocess.run(command, check=True)
+    if return_info:
+        import cv2
+
+        img_shape = cv2.imread(osp.join(img_folder, "000001.png")).shape
+        return img_folder, len(os.listdir(img_folder)), img_shape
+    return img_folder
+
+
+def images_to_video(
+    img_folder: str, output_vid_file: str, fps: int = 30,
+    pattern: str = "%06d.png",
+):
+    """Assemble frames into an mp4 (reference demo_utils.py:237-246)."""
+    os.makedirs(osp.dirname(output_vid_file) or ".", exist_ok=True)
+    command = [
+        "ffmpeg", "-y", "-framerate", str(fps), "-threads", "16", "-i",
+        f"{img_folder}/{pattern}", "-profile:v", "baseline", "-level",
+        "3.0", "-c:v", "libx264", "-pix_fmt", "yuv420p", "-an", "-v",
+        "error", output_vid_file,
+    ]
+    subprocess.run(command, check=True)
+
+
+def convert_crop_cam_to_orig_img(
+    cam: np.ndarray, bbox: np.ndarray, img_width: float, img_height: float
+) -> np.ndarray:
+    """Weak-perspective crop camera -> original-image ortho camera.
+
+    Reference: demo_utils.py:249-266.
+
+    Args:
+        cam: (N, 3) [s, tx, ty] in crop coords.
+        bbox: (N, 3+) rows (cx, cy, h).
+    Returns:
+        (N, 4) [sx, sy, tx, ty] in original-image coords.
+    """
+    cx, cy, h = bbox[:, 0], bbox[:, 1], bbox[:, 2]
+    hw, hh = img_width / 2.0, img_height / 2.0
+    sx = cam[:, 0] * (1.0 / (img_width / h))
+    sy = cam[:, 0] * (1.0 / (img_height / h))
+    tx = ((cx - hw) / hw / sx) + cam[:, 1]
+    ty = ((cy - hh) / hh / sy) + cam[:, 2]
+    return np.stack([sx, sy, tx, ty]).T
+
+
+def convert_crop_coords_to_orig_img(
+    bbox: np.ndarray, keypoints: np.ndarray, crop_size: int
+) -> np.ndarray:
+    """Normalized crop keypoints -> original-image pixels
+    (reference demo_utils.py:268-281)."""
+    cx, cy, h = bbox[:, 0], bbox[:, 1], bbox[:, 2]
+    kp = 0.5 * crop_size * (keypoints + 1.0)
+    kp = kp * (h[..., None, None] / crop_size)
+    kp[..., 0] = (cx - h / 2)[..., None] + kp[..., 0]
+    kp[..., 1] = (cy - h / 2)[..., None] + kp[..., 1]
+    return kp
+
+
+def prepare_rendering_results(results: dict, nframes: int) -> list:
+    """Per-frame, depth-ordered person render list.
+
+    Reference: demo_utils.py:283-315 — people sorted by the y-scale of
+    the original-image weak-perspective camera (far to near).
+
+    Args:
+        results: dict[person_id] with arrays 'verts', 'orig_cam',
+            'frame_ids', optional 'smpl_joints2d', 'var', 'var_global'.
+    """
+    frame_results = [{} for _ in range(nframes)]
+    for person_id, person_data in results.items():
+        for idx, frame_id in enumerate(person_data["frame_ids"]):
+            entry = {
+                "verts": person_data["verts"][idx],
+                "cam": person_data["orig_cam"][idx],
+            }
+            if "smpl_joints2d" in person_data:
+                entry["joints2d"] = person_data["smpl_joints2d"][idx]
+            for key in ("var", "var_global"):
+                val = person_data.get(key)
+                entry[key] = (
+                    val[idx] if val is not None and len(val) > 1 else None
+                )
+            frame_results[frame_id][person_id] = entry
+
+    for frame_id, frame_data in enumerate(frame_results):
+        keys = list(frame_data.keys())
+        sort_idx = np.argsort([frame_data[k]["cam"][1] for k in keys])
+        frame_results[frame_id] = OrderedDict(
+            (keys[i], frame_data[keys[i]]) for i in sort_idx
+        )
+    return frame_results

@@ -1,0 +1,241 @@
+"""Demo pipeline tests: tracker, tester folder/video paths, renderer."""
+
+import os
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from poco_tpu.config import get_hparams_defaults
+from poco_tpu.demo.tracker import IouTracker, full_frame_detector, run_tracking
+from poco_tpu.smpl.assets import synthetic_smpl_model
+from poco_tpu.utils.demo_utils import (
+    convert_crop_cam_to_orig_img,
+    convert_crop_coords_to_orig_img,
+    prepare_rendering_results,
+)
+from poco_tpu.utils.one_euro import OneEuroFilter
+from poco_tpu.utils.smooth_bbox import get_all_bbox_params, get_smooth_bbox_params
+from poco_tpu.viz.renderer import Renderer, get_vertex_colors, jet_colormap, save_obj
+
+
+@pytest.fixture(scope="module")
+def frame_folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("frames")
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        img = rng.randint(40, 200, (120, 160, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / f"{i:06d}.png"), img)
+    return str(root)
+
+
+def _tiny_tester(batch_size=8):
+    from poco_tpu.demo.tester import PocoTester
+
+    h = get_hparams_defaults()
+    h.POCO.BACKBONE = "tiny-cliff"
+    h.POCO.NUM_NEURONS = "216-"
+    h.POCO.SIGMA_DIM = 1
+    h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+    h.POCO.COND_NFLOW = True
+    h.POCO.CONTEXT_DIM = 64
+    h.POCO.NUM_FLOW_LAYERS = 1
+    smpl = synthetic_smpl_model(num_verts=96)
+    return PocoTester(h, smpl, batch_size=batch_size)
+
+
+class TestTracker:
+    def test_single_stable_track(self):
+        dets = [np.array([[50.0, 50.0, 40.0, 80.0]])] * 5
+        tracks = IouTracker().track(dets)
+        assert len(tracks) == 1
+        tid = list(tracks)[0]
+        assert len(tracks[tid]["frames"]) == 5
+
+    def test_two_people_two_tracks(self):
+        dets = [
+            np.array([[30.0, 50.0, 30.0, 60.0], [120.0, 50.0, 30.0, 60.0]])
+        ] * 4
+        tracks = IouTracker().track(dets)
+        assert len(tracks) == 2
+
+    def test_moving_person_followed(self):
+        dets = [
+            np.array([[30.0 + 5 * t, 50.0, 40.0, 80.0]]) for t in range(6)
+        ]
+        tracks = IouTracker().track(dets)
+        assert len(tracks) == 1
+
+    def test_gap_exceeding_max_age_splits(self):
+        dets = (
+            [np.array([[50.0, 50.0, 40.0, 80.0]])] * 2
+            + [np.zeros((0, 4))] * 15
+            + [np.array([[50.0, 50.0, 40.0, 80.0]])] * 2
+        )
+        tracks = IouTracker(max_age=3).track(dets)
+        assert len(tracks) == 2
+
+    def test_run_tracking_contract(self, frame_folder):
+        tracks = run_tracking(
+            sorted(
+                os.path.join(frame_folder, f)
+                for f in os.listdir(frame_folder)
+            ),
+            full_frame_detector,
+        )
+        assert len(tracks) == 1
+        tr = tracks[list(tracks)[0]]
+        assert tr["bbox"].shape == (4, 4)
+        assert list(tr["frames"]) == [0, 1, 2, 3]
+
+
+class TestConversions:
+    def test_crop_cam_round_scale(self):
+        cam = np.array([[1.0, 0.1, -0.2]])
+        bbox = np.array([[320.0, 240.0, 240.0]])
+        out = convert_crop_cam_to_orig_img(cam, bbox, 640, 480)
+        assert out.shape == (1, 4)
+        np.testing.assert_allclose(out[0, 0], 240.0 / 640.0, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 1], 240.0 / 480.0, rtol=1e-6)
+        # centered bbox -> translation = cam translation
+        np.testing.assert_allclose(out[0, 2], 0.1, atol=1e-6)
+
+    def test_crop_coords_center_maps_to_bbox_center(self):
+        bbox = np.array([[100.0, 80.0, 60.0]])
+        kp = np.zeros((1, 5, 2))
+        out = convert_crop_coords_to_orig_img(bbox, kp.copy(), 224)
+        np.testing.assert_allclose(out[0, :, 0], 100.0)
+        np.testing.assert_allclose(out[0, :, 1], 80.0)
+
+    def test_prepare_rendering_depth_sort(self):
+        results = {
+            0: {
+                "verts": np.zeros((1, 9, 3)),
+                "orig_cam": np.array([[0.5, 0.9, 0, 0]]),
+                "frame_ids": [0],
+            },
+            1: {
+                "verts": np.zeros((1, 9, 3)),
+                "orig_cam": np.array([[0.5, 0.2, 0, 0]]),
+                "frame_ids": [0],
+            },
+        }
+        frames = prepare_rendering_results(results, 1)
+        # person 1 (smaller y-scale = farther) must be drawn first
+        assert list(frames[0].keys()) == [1, 0]
+
+
+class TestSmoothing:
+    def test_one_euro_reduces_jitter(self):
+        rng = np.random.RandomState(0)
+        t = np.arange(100, dtype=np.float64)
+        clean = np.sin(t / 10)
+        noisy = clean + 0.2 * rng.randn(100)
+        f = OneEuroFilter(0.0, noisy[0], min_cutoff=0.05, beta=0.0)
+        smoothed = [noisy[0]]
+        for i in range(1, 100):
+            smoothed.append(f(float(i), noisy[i]))
+        smoothed = np.asarray(smoothed)
+        assert np.std(np.diff(smoothed)) < np.std(np.diff(noisy))
+
+    def test_bbox_params_interpolate_gaps(self):
+        kp = np.zeros((13, 3))
+        kp[:, 2] = 1.0
+        kp[:4, :2] = [[0, 0], [0, 100], [50, 0], [50, 100]]
+        kps = [kp * 1.0, None, None, kp * 1.0]
+        params, start, end = get_all_bbox_params(kps, vis_thresh=0.5)
+        assert start == 0 and end == 3
+        assert params.shape == (4, 3)
+        np.testing.assert_allclose(params[1], params[0], rtol=1e-5)
+
+    def test_smooth_pose_runs(self):
+        from poco_tpu.utils.smooth_pose import smooth_pose
+
+        smpl = synthetic_smpl_model(num_verts=64)
+        T = 5
+        pose = np.broadcast_to(np.eye(3), (T, 24, 3, 3)).copy()
+        betas = np.zeros((T, 10), np.float32)
+        verts, pose_hat, joints = smooth_pose(pose, betas, smpl)
+        assert verts.shape == (T, 64, 3)
+        assert joints.shape == (T, 49, 3)
+        assert np.all(np.isfinite(verts))
+
+
+class TestRenderer:
+    def test_jet_colormap_ends(self):
+        lo = jet_colormap(np.array(0.0))
+        hi = jet_colormap(np.array(1.0))
+        assert lo[2] > 0.4 and lo[0] == 0.0   # blue end
+        assert hi[0] > 0.4 and hi[2] == 0.0   # red end
+
+    def test_vertex_colors_cliff_global(self):
+        smpl = synthetic_smpl_model(num_verts=64)
+        var = np.full(24, 0.2, np.float32)
+        var[0] = 0.3
+        colors = get_vertex_colors(
+            var, np.asarray(smpl.lbs_weights), backbone="hrnet_w48_cls-cliff"
+        )
+        assert colors.shape == (64, 4)
+        # cliff: every part colored by the root value -> single color
+        assert len(np.unique(colors[:, 0].round(4))) == 1
+
+    def test_render_draws_mesh(self):
+        smpl = synthetic_smpl_model(num_verts=64)
+        r = Renderer(np.asarray(smpl.faces), 64, 64)
+        verts = np.asarray(smpl.v_template) * 0.5
+        img = r.render(
+            np.zeros((64, 64, 3), np.uint8), verts,
+            np.array([1.0, 0.0, 0.0]),
+        )
+        assert img.shape == (64, 64, 3)
+        assert img.sum() > 0  # something was drawn
+
+    def test_save_obj(self, tmp_path):
+        path = str(tmp_path / "mesh.obj")
+        save_obj(path, np.zeros((3, 3)), np.array([[0, 1, 2]]))
+        content = open(path).read()
+        assert content.count("v ") == 3 and "f 1 2 3" in content
+
+
+class TestTesterFolder:
+    def test_image_folder_end_to_end(self, frame_folder, tmp_path):
+        tester = _tiny_tester()
+        out_dir = str(tmp_path / "out")
+        results = tester.run_on_image_folder(
+            frame_folder, output_folder=out_dir, render=True, sideview=True
+        )
+        assert len(results) == 4
+        r = results[0]
+        assert r["verts"].shape[0] == 1          # one detection per image
+        assert r["orig_cam"].shape == (1, 4)
+        assert r["var"].shape == (1, 24)
+        assert r["var_global"].shape == (1,)
+        rendered = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+        assert len(rendered) >= 4
+        assert tester.last_fps > 0
+
+    def test_video_end_to_end(self, frame_folder, tmp_path):
+        tester = _tiny_tester()
+        cache = str(tmp_path / "tracks.pkl")
+        tracks = tester.run_tracking(frame_folder, cache_file=cache)
+        assert os.path.exists(cache)
+        results = tester.run_on_video(frame_folder, tracks=tracks)
+        assert len(results) == 1
+        person = results[list(results)[0]]
+        assert person["verts"].shape == (4, 96, 3)
+        assert person["orig_cam"].shape == (4, 4)
+
+        render_dir = str(tmp_path / "render")
+        tester.render_results(
+            results, frame_folder, render_dir,
+            uncert_log=str(tmp_path / "uncert.log"),
+        )
+        assert len(os.listdir(render_dir)) == 4
+        assert os.path.exists(str(tmp_path / "uncert.log"))
+
+    def test_video_with_smoothing(self, frame_folder):
+        tester = _tiny_tester()
+        results = tester.run_on_video(frame_folder, smooth=True)
+        person = results[list(results)[0]]
+        assert np.all(np.isfinite(person["verts"]))
