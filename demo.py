@@ -1,0 +1,166 @@
+"""Demo CLI: folder / video / directory modes with uncertainty rendering.
+
+Reference contract: demo.py:40-313 — the same mode set and flags
+(webcam, which the reference also leaves unimplemented, reports an error):
+
+    video:     --vid_file in.mp4  -> tracked multi-person overlay video
+    folder:    --image_folder dir -> per-image overlays
+    directory: --image_folder parent_dir --dir_chunk i/--dir_chunk_size n
+               -> chunked batch over many folders
+
+Stage caching: tracking results are pickled next to the output and
+reused on rerun (reference demo.py:125-131).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+
+def build_tester(args):
+    import jax
+
+    from poco_tpu.config import update_hparams
+    from poco_tpu.demo.tester import PocoTester
+    from poco_tpu.demo.tracker import full_frame_detector, hog_person_detector
+    from poco_tpu.smpl.assets import resolve_smpl_params
+
+    hparams = update_hparams(args.cfg)
+    smpl = resolve_smpl_params(args.smpl_dir, "neutral")
+
+    variables = None
+    if args.ckpt:
+        from eval import load_checkpoint_into
+        from poco_tpu.config import model_config_from_hparams
+        from poco_tpu.models.poco import POCO, init_poco
+
+        model_cfg = model_config_from_hparams(hparams)
+        model = POCO(cfg=model_cfg)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        variables = load_checkpoint_into(variables, args.ckpt, model_cfg)
+
+    detector = (
+        hog_person_detector if args.detector == "hog" else full_frame_detector
+    )
+    return PocoTester(
+        hparams, smpl, variables=variables, detector=detector,
+        batch_size=args.batch_size,
+    )
+
+
+def run_video(args, tester):
+    from poco_tpu.utils.demo_utils import images_to_video, video_to_images
+
+    out_dir = args.output_folder
+    os.makedirs(out_dir, exist_ok=True)
+    img_folder, n_frames, _ = video_to_images(
+        args.vid_file, osp.join(out_dir, "frames"), return_info=True
+    )
+    t0 = time.time()
+    tracks = tester.run_tracking(
+        img_folder, cache_file=osp.join(out_dir, "tracking_results.pkl")
+    )
+    results = tester.run_on_video(
+        img_folder, tracks=tracks, smooth=args.smooth,
+        min_cutoff=args.min_cutoff, beta=args.beta,
+    )
+    fps = n_frames / max(time.time() - t0, 1e-9)
+    print(f"poco FPS: {fps:.2f}")
+    if not args.no_render:
+        render_dir = osp.join(out_dir, "rendered")
+        tester.render_results(
+            results, img_folder, render_dir,
+            uncert_color=not args.no_uncert_color,
+            wireframe=args.wireframe,
+            uncert_log=osp.join(out_dir, "uncertainty.log"),
+        )
+        images_to_video(
+            render_dir,
+            osp.join(
+                out_dir,
+                osp.basename(args.vid_file).replace(".mp4", "_poco.mp4"),
+            ),
+        )
+
+
+def run_folder(args, tester):
+    t0 = time.time()
+    results = tester.run_on_image_folder(
+        args.image_folder,
+        output_folder=args.output_folder,
+        render=not args.no_render,
+        sideview=args.sideview,
+        save_obj=args.save_obj,
+        uncert_color=not args.no_uncert_color,
+    )
+    n = sum(len(r.get("bboxes", [])) for r in results)
+    print(f"poco FPS: {n / max(time.time() - t0, 1e-9):.2f} ({n} crops)")
+
+
+def run_directory(args, tester):
+    subdirs = sorted(
+        d for d in os.listdir(args.image_folder)
+        if osp.isdir(osp.join(args.image_folder, d))
+    )
+    if args.dir_chunk_size > 0:
+        s = args.dir_chunk * args.dir_chunk_size
+        subdirs = subdirs[s : s + args.dir_chunk_size]
+    for d in subdirs:
+        sub_args = argparse.Namespace(**vars(args))
+        sub_args.image_folder = osp.join(args.image_folder, d)
+        sub_args.output_folder = osp.join(args.output_folder, d)
+        run_folder(sub_args, tester)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default="configs/poco_cliff.yaml")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--smpl_dir", default=None)
+    parser.add_argument(
+        "--mode", default="folder",
+        choices=["video", "folder", "directory", "webcam"],
+    )
+    parser.add_argument("--vid_file", default=None)
+    parser.add_argument("--image_folder", default="demo_data/images")
+    parser.add_argument("--output_folder", default="out/demo")
+    parser.add_argument("--detector", default="full_frame",
+                        choices=["full_frame", "hog"])
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--tracker_batch_size", type=int, default=12)
+    # smoothing
+    parser.add_argument("--smooth", action="store_true")
+    parser.add_argument("--min_cutoff", type=float, default=0.004)
+    parser.add_argument("--beta", type=float, default=0.7)
+    # rendering
+    parser.add_argument("--no_render", action="store_true")
+    parser.add_argument("--no_uncert_color", action="store_true")
+    parser.add_argument("--sideview", action="store_true")
+    parser.add_argument("--wireframe", action="store_true")
+    parser.add_argument("--save_obj", action="store_true")
+    parser.add_argument("--draw_keypoints", action="store_true")
+    # directory mode chunking
+    parser.add_argument("--dir_chunk_size", type=int, default=-1)
+    parser.add_argument("--dir_chunk", type=int, default=0)
+    args = parser.parse_args()
+
+    if args.mode == "webcam":
+        raise NotImplementedError(
+            "webcam mode is not implemented (matches the reference, "
+            "demo.py:103-105)"
+        )
+
+    tester = build_tester(args)
+    if args.mode == "video":
+        run_video(args, tester)
+    elif args.mode == "folder":
+        run_folder(args, tester)
+    else:
+        run_directory(args, tester)
+
+
+if __name__ == "__main__":
+    main()

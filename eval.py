@@ -1,0 +1,114 @@
+"""Evaluation CLI: 3DPW-style test sharded across all available chips.
+
+Reference contract: eval.py:14-62 (fixed: the reference crashes on a
+missing argument — SURVEY.md §2.1) + compute_error.py splits.
+
+Usage:
+    python eval.py --cfg configs/poco_cliff.yaml --ckpt <orbax dir or
+        torch .pt> [--dataset 3dpw] [--data_dir data] [--smpl_dir ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--ckpt", default=None,
+                        help="orbax checkpoint dir or torch .pt file")
+    parser.add_argument("--dataset", default=None)
+    parser.add_argument("--data_dir", default=None)
+    parser.add_argument("--smpl_dir", default=None)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--out", default=None, help="report json path")
+    args = parser.parse_args()
+
+    import jax
+
+    from poco_tpu.config import model_config_from_hparams, update_hparams
+    from poco_tpu.data.dataset import PocoDataset
+    from poco_tpu.eval.runner import pw3d_split_report, run_eval
+    from poco_tpu.models.poco import POCO, init_poco
+    from poco_tpu.smpl.assets import resolve_smpl_params
+
+    hparams = update_hparams(args.cfg)
+    if args.data_dir:
+        hparams.DATASET.DATA_DIR = args.data_dir
+    ds_name = args.dataset or hparams.DATASET.VAL_DS
+
+    smpl = resolve_smpl_params(args.smpl_dir, "neutral")
+    model = POCO(cfg=model_config_from_hparams(hparams))
+    variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+
+    if args.ckpt:
+        variables = load_checkpoint_into(variables, args.ckpt, model.cfg)
+
+    npz = os.path.join(
+        hparams.DATASET.DATA_DIR, "dataset_extras", f"{ds_name}_test.npz"
+    )
+    dataset = PocoDataset(
+        npz, img_dir=hparams.DATASET.DATA_DIR, dataset_name=ds_name,
+        is_train=False,
+    )
+
+    result = run_eval(
+        model, variables, dataset,
+        smpl_neutral=smpl,
+        smpl_male=resolve_smpl_params(args.smpl_dir, "male"),
+        smpl_female=resolve_smpl_params(args.smpl_dir, "female"),
+        batch_size=args.batch_size,
+        loss_ver=hparams.POCO.LOSS_VER,
+    )
+    summary = result.summary()
+    report = pw3d_split_report(
+        result.imgnames, result.mpjpe_mm, result.pa_mpjpe_mm, result.v2v_mm
+    )
+    print(json.dumps({"summary": summary, "splits": report}, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "splits": report}, f, indent=1)
+
+
+def load_checkpoint_into(variables, ckpt_path: str, model_cfg):
+    """Load an orbax dir or convert a torch checkpoint file."""
+    if os.path.isdir(ckpt_path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats"),
+            "buffers": variables.get("buffers"),
+        }
+        try:
+            restored = ckptr.restore(os.path.abspath(ckpt_path), template)
+        except BaseException:
+            import jax.numpy as _j
+
+            template["step"] = _j.zeros((), _j.int32)
+            restored = ckptr.restore(os.path.abspath(ckpt_path), template)
+        out = dict(variables)
+        for k in ("params", "batch_stats", "buffers"):
+            if restored.get(k) is not None:
+                out[k] = restored[k]
+        return out
+
+    from poco_tpu.utils.checkpoint_convert import (
+        convert_state_dict,
+        load_torch_checkpoint,
+        merge_converted,
+    )
+
+    sd = load_torch_checkpoint(ckpt_path)
+    converted = convert_state_dict(sd, head_type=model_cfg.head_name)
+    merged, stats = merge_converted(variables, converted)
+    print(f"converted checkpoint: {stats}")
+    return merged
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Keypoint format registries and inter-format conversion.
+
+Reference contract: pocolib/utils/kp_utils.py:14-938 — joint-name lists
+per annotation format, `convert_kps` name-matching remapper, skeleton
+edge tables, per-joint OKS kappas, and the SMPL kinematic tables.
+Implemented as an explicit registry dict instead of the reference's
+`eval(f'get_{src}_joint_names')` dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import JOINT_NAMES, SMPL_JOINT_NAMES, SMPL_PARENTS
+
+# ---------------------------------------------------------------------------
+# Joint-name registries (lowercase short names shared across formats)
+# ---------------------------------------------------------------------------
+
+SPIN_JOINT_NAMES = JOINT_NAMES[:25] + [
+    "rankle", "rknee", "rhip", "lhip", "lknee", "lankle",
+    "rwrist", "relbow", "rshoulder", "lshoulder", "lelbow", "lwrist",
+    "neck", "headtop", "hip", "thorax",
+    "Spine (H36M)", "Jaw (H36M)", "Head (H36M)",
+    "nose", "leye", "reye", "lear", "rear",
+]
+
+H36M_JOINT_NAMES = [
+    "hip", "lhip", "lknee", "lankle", "rhip", "rknee", "rankle",
+    "Spine (H36M)", "neck", "Head (H36M)", "headtop",
+    "lshoulder", "lelbow", "lwrist", "rshoulder", "relbow", "rwrist",
+]
+
+COCO_JOINT_NAMES = [
+    "nose", "leye", "reye", "lear", "rear",
+    "lshoulder", "rshoulder", "lelbow", "relbow", "lwrist", "rwrist",
+    "lhip", "rhip", "lknee", "rknee", "lankle", "rankle",
+]
+
+MPII_JOINT_NAMES = [
+    "rankle", "rknee", "rhip", "lhip", "lknee", "lankle",
+    "hip", "thorax", "neck", "headtop",
+    "rwrist", "relbow", "rshoulder", "lshoulder", "lelbow", "lwrist",
+]
+
+COMMON_JOINT_NAMES = [
+    "rankle", "rknee", "rhip", "lhip", "lknee", "lankle",
+    "rwrist", "relbow", "rshoulder", "lshoulder", "lelbow", "lwrist",
+    "neck", "headtop",
+]
+
+PW3D_JOINT_NAMES = [
+    "nose", "thorax", "rshoulder", "relbow", "rwrist",
+    "lshoulder", "lelbow", "lwrist",
+    "rhip", "rknee", "rankle", "lhip", "lknee", "lankle",
+]
+
+JOINT_NAME_REGISTRY: dict[str, list[str]] = {
+    "spin": SPIN_JOINT_NAMES,
+    "h36m": H36M_JOINT_NAMES,
+    "coco": COCO_JOINT_NAMES,
+    "mpii": MPII_JOINT_NAMES,
+    "common": COMMON_JOINT_NAMES,
+    "3dpw": PW3D_JOINT_NAMES,
+    "smpl": SMPL_JOINT_NAMES,
+}
+
+
+def get_joint_names(fmt: str) -> list[str]:
+    return JOINT_NAME_REGISTRY[fmt]
+
+
+def convert_kps(joints: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """Remap (N, J_src, 3) keypoints between formats by joint name.
+
+    Missing joints become zero rows (reference kp_utils.py:14-25).
+    """
+    src_names = get_joint_names(src)
+    dst_names = get_joint_names(dst)
+    out = np.zeros((joints.shape[0], len(dst_names), 3), joints.dtype)
+    for idx, name in enumerate(dst_names):
+        if name in src_names:
+            out[:, idx] = joints[:, src_names.index(name)]
+    return out
+
+
+def get_perm_idxs(src: str, dst: str) -> list[int]:
+    """Indices into src selecting dst's joints (reference kp_utils.py:27-31)."""
+    src_names = get_joint_names(src)
+    return [
+        src_names.index(n) for n in get_joint_names(dst) if n in src_names
+    ]
+
+
+# ---------------------------------------------------------------------------
+# OKS kappas (reference kp_utils.py:458-474) and skeletons
+# ---------------------------------------------------------------------------
+
+COMMON_JOINT_KAPPAS = [
+    0.089, 0.087, 0.107, 0.107, 0.087, 0.089, 0.062, 0.072, 0.079, 0.079,
+    0.072, 0.066, 0.107, 0.107,
+]
+
+COMMON_SKELETON = np.array(
+    [
+        [0, 1], [1, 2], [3, 4], [4, 5], [6, 7], [7, 8], [8, 2], [8, 9],
+        [9, 3], [2, 3], [8, 12], [9, 10], [12, 9], [10, 11], [12, 13],
+    ]
+)
+
+
+def get_smpl_skeleton() -> np.ndarray:
+    """(23, 2) parent->child edges of the SMPL tree (kp_utils.py:881-908),
+    derived from the parent table."""
+    return np.array(
+        [[int(SMPL_PARENTS[j]), j] for j in range(1, 24)], np.int64
+    )
+
+
+def get_smpl_neighbor_triplets() -> list[list[int]]:
+    """[joint, neighbor1, neighbor2] per SMPL joint — used by PARE's
+    neighbor-conditioned iterative regression (kp_utils.py:852-879)."""
+    edges = get_smpl_skeleton()
+    neighbors: dict[int, list[int]] = {j: [] for j in range(24)}
+    for p, c in edges:
+        neighbors[p].append(c)
+        neighbors[c].append(p)
+    out = []
+    for j in range(24):
+        ns = neighbors[j][:2]
+        while len(ns) < 2:
+            ns.append(j)
+        out.append([j] + ns)
+    return out
+
+
+def compute_oks(
+    pred_kp: np.ndarray,
+    gt_kp: np.ndarray,
+    scale: np.ndarray,
+    kappas: list[float] | None = None,
+) -> np.ndarray:
+    """Object-keypoint-similarity per sample over the 14 common joints.
+
+    Reference contract: eval_utils.py:120-151 — used for the
+    OKS-vs-confidence correlation sanity metric.
+
+    Args:
+        pred_kp, gt_kp: (B, 14, 2+) keypoints (conf in last GT channel if
+            present).
+        scale: (B,) object scale (bbox area sqrt).
+    """
+    kappas = np.asarray(kappas or COMMON_JOINT_KAPPAS)
+    d2 = np.sum((pred_kp[..., :2] - gt_kp[..., :2]) ** 2, axis=-1)
+    vis = (
+        gt_kp[..., 2] > 0 if gt_kp.shape[-1] > 2
+        else np.ones(d2.shape, bool)
+    )
+    denom = 2.0 * (scale[:, None] ** 2) * (kappas[None, :] ** 2) + 1e-9
+    e = np.exp(-d2 / denom)
+    return (e * vis).sum(-1) / np.maximum(vis.sum(-1), 1)
+
+
+class AverageMeter:
+    """Running avg/min/max tracker (reference eval_utils.py:183-201)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.min = float("inf")
+        self.max = -float("inf")
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+        self.min = min(self.min, val)
+        self.max = max(self.max, val)

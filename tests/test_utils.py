@@ -1,0 +1,97 @@
+"""Utility tests: kp format conversion, OKS, code snapshot, CLI smoke."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from poco_tpu.utils.kp_utils import (
+    AverageMeter,
+    COMMON_JOINT_KAPPAS,
+    compute_oks,
+    convert_kps,
+    get_joint_names,
+    get_perm_idxs,
+    get_smpl_neighbor_triplets,
+    get_smpl_skeleton,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestKpUtils:
+    def test_convert_spin_to_common(self):
+        kp = np.random.RandomState(0).rand(2, 49, 3)
+        out = convert_kps(kp, "spin", "common")
+        assert out.shape == (2, 14, 3)
+        # 'rankle' is spin idx 25, common idx 0
+        np.testing.assert_array_equal(out[:, 0], kp[:, 25])
+
+    def test_convert_coco_to_spin_missing_joints_zero(self):
+        kp = np.ones((1, 17, 3))
+        out = convert_kps(kp, "coco", "spin")
+        assert out.shape == (1, 49, 3)
+        names = get_joint_names("spin")
+        assert out[0, names.index("headtop")].sum() == 0  # not in coco
+        assert out[0, names.index("nose")].sum() == 3
+
+    def test_perm_idxs_h36m_common(self):
+        idxs = get_perm_idxs("h36m", "common")
+        assert len(idxs) == 14
+        h36m = get_joint_names("h36m")
+        assert h36m[idxs[0]] == "rankle"
+
+    def test_smpl_skeleton_matches_parents(self):
+        edges = get_smpl_skeleton()
+        assert edges.shape == (23, 2)
+        assert all(p < c for p, c in edges)
+
+    def test_neighbor_triplets(self):
+        trips = get_smpl_neighbor_triplets()
+        assert len(trips) == 24
+        assert all(len(t) == 3 for t in trips)
+        assert trips[0][0] == 0
+
+    def test_oks_perfect_match(self):
+        kp = np.random.RandomState(1).rand(3, 14, 2) * 100
+        scale = np.full(3, 50.0)
+        oks = compute_oks(kp, kp, scale)
+        np.testing.assert_allclose(oks, 1.0, atol=1e-6)
+
+    def test_oks_decreases_with_error(self):
+        kp = np.random.RandomState(2).rand(1, 14, 2) * 100
+        scale = np.full(1, 50.0)
+        a = compute_oks(kp + 1.0, kp, scale)[0]
+        b = compute_oks(kp + 10.0, kp, scale)[0]
+        assert 0 < b < a < 1
+
+    def test_kappas_length(self):
+        assert len(COMMON_JOINT_KAPPAS) == 14
+
+    def test_average_meter(self):
+        m = AverageMeter()
+        for v in (1.0, 3.0, 5.0):
+            m.update(v)
+        assert m.avg == 3.0 and m.min == 1.0 and m.max == 5.0
+
+
+class TestOsUtils:
+    def test_copy_code_snapshot(self, tmp_path):
+        from poco_tpu.utils.os_utils import copy_code
+
+        dst = copy_code(str(tmp_path))
+        assert os.path.exists(os.path.join(dst, "poco_tpu", "config.py"))
+        assert os.path.exists(os.path.join(dst, "train.py"))
+
+
+class TestCliSmoke:
+    def test_cli_help(self):
+        """All three CLIs parse --help without importing jax-heavy paths."""
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        for script in ("train.py", "eval.py", "demo.py"):
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, script), "--help"],
+                capture_output=True, timeout=120, env=env,
+            )
+            assert r.returncode == 0, r.stderr.decode()[-500:]

@@ -1,0 +1,122 @@
+"""Training CLI.
+
+Reference contract: train.py:15-136 — config grid-search expansion,
+seeding, logdir setup, dataset construction from DATASETS_AND_RATIOS /
+STAGE_DATASETS, fit with validation.
+
+Usage:
+    python train.py --cfg configs/poco_cliff.yaml [--cfg_id 0]
+        [--data_dir data] [--smpl_dir data/smpl] [--max_epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_train_dataset_factory(hparams, options):
+    """Dataset factory honoring stage curricula (trainer.py:640-654)."""
+    from poco_tpu.data.dataset import PocoDataset
+    from poco_tpu.data.mixed import (
+        RatioMixedDataset,
+        parse_datasets_and_ratios,
+        parse_stage_datasets,
+        stage_for_epoch,
+    )
+
+    data_dir = hparams.DATASET.DATA_DIR
+
+    def load_ds(name: str, seed: int = 0):
+        npz = os.path.join(data_dir, "dataset_extras", f"{name}_train.npz")
+        return PocoDataset(
+            npz, img_dir=data_dir, dataset_name=name, is_train=True,
+            use_augmentation=hparams.TRAINING.USE_AUGM,
+            ignore_3d=hparams.DATASET.IGNORE_3D,
+            options=options, seed=seed,
+        )
+
+    stages = (
+        parse_stage_datasets(hparams.DATASET.STAGE_DATASETS)
+        if hparams.DATASET.TRAIN_DS == "stage"
+        else None
+    )
+
+    def factory(epoch: int):
+        spec = (
+            stage_for_epoch(stages, epoch)
+            if stages
+            else hparams.DATASET.DATASETS_AND_RATIOS
+        )
+        names, ratios = parse_datasets_and_ratios(spec)
+        if len(names) == 1:
+            return load_ds(names[0], seed=epoch)
+        return RatioMixedDataset(
+            [load_ds(n, seed=epoch) for n in names], ratios, seed=epoch
+        )
+
+    return factory
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True, help="experiment yaml")
+    parser.add_argument("--cfg_id", type=int, default=0,
+                        help="grid-search experiment index")
+    parser.add_argument("--smpl_dir", default=None,
+                        help="SMPL model directory (else synthetic)")
+    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--resume", default=None, help="checkpoint path")
+    args = parser.parse_args()
+
+    from poco_tpu.config import run_grid_search_experiments
+    from poco_tpu.data.dataset import PocoDataset
+    from poco_tpu.smpl.assets import resolve_smpl_params
+    from poco_tpu.train.trainer import Trainer
+    from poco_tpu.utils.os_utils import copy_code
+
+    hparams = run_grid_search_experiments(args.cfg, args.cfg_id)
+    copy_code(hparams.LOG_DIR)
+
+    smpl = resolve_smpl_params(args.smpl_dir, "neutral")
+    smpl_male = resolve_smpl_params(args.smpl_dir, "male")
+    smpl_female = resolve_smpl_params(args.smpl_dir, "female")
+
+    options = {
+        "FLIP": bool(hparams.DATASET.FLIP),
+        "NOISE_FACTOR": hparams.DATASET.NOISE_FACTOR,
+        "ROT_FACTOR": hparams.DATASET.ROT_FACTOR,
+        "SCALE_FACTOR": hparams.DATASET.SCALE_FACTOR,
+        "IMG_RES": hparams.DATASET.IMG_RES,
+        "USE_SYNTHETIC_OCCLUSION": hparams.DATASET.USE_SYNTHETIC_OCCLUSION,
+        "UNCERT_THRESHOLD": hparams.DATASET.UNCERT_THRESHOLD,
+    }
+
+    val_npz = os.path.join(
+        hparams.DATASET.DATA_DIR, "dataset_extras",
+        f"{hparams.DATASET.VAL_DS}_test.npz",
+    )
+    val_dataset = (
+        PocoDataset(
+            val_npz, img_dir=hparams.DATASET.DATA_DIR,
+            dataset_name=hparams.DATASET.VAL_DS, is_train=False,
+            options=options,
+        )
+        if os.path.exists(val_npz)
+        else None
+    )
+
+    trainer = Trainer(
+        hparams, smpl,
+        train_dataset_fn=build_train_dataset_factory(hparams, options),
+        val_dataset=val_dataset,
+        smpl_male=smpl_male, smpl_female=smpl_female,
+    )
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
+    summary = trainer.fit(args.max_epochs)
+    print("final:", summary)
+
+
+if __name__ == "__main__":
+    main()
