@@ -84,6 +84,22 @@ class PocoTester:
 
         self._forward = _forward
 
+        # Fused preprocessing + forward: crop -> resize -> normalize ->
+        # backbone -> head -> SMPL -> uncertainty as ONE XLA program
+        # (one device dispatch per image).
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=())
+        def _detect_forward(
+            variables, image, true_hw, centers, scales, smpl_params
+        ):
+            batch = preprocess_crops(
+                image, centers, scales, true_hw=true_hw
+            )
+            return model.apply(variables, batch, smpl_params, train=False)
+
+        self._detect_forward = _detect_forward
+
     # ------------------------------------------------------------------
     def _run_batches(self, batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         """Forward a host batch in fixed-size padded chunks."""
@@ -146,6 +162,14 @@ class PocoTester:
         if output_folder:
             os.makedirs(output_folder, exist_ok=True)
 
+        # One padded-size bucket for the whole folder: every image shares
+        # a single compiled program regardless of its true size.
+        sizes = [cv2.imread(p).shape[:2] for p in image_files]
+        max_h = max(s[0] for s in sizes) if sizes else 0
+        max_w = max(s[1] for s in sizes) if sizes else 0
+        bucket_h = -(-max_h // 256) * 256
+        bucket_w = -(-max_w // 256) * 256
+
         results = []
         t0 = time.perf_counter()
         n_crops = 0
@@ -170,14 +194,20 @@ class PocoTester:
                 [scales, np.repeat(scales[-1:], n_pad - n)]
             )
 
-            # Fused on-device preprocessing + forward (crops already
-            # normalized by preprocess_crops).
-            batch = preprocess_crops(
-                jnp.asarray(np.ascontiguousarray(img)),
+            # Fused on-device preprocessing + forward: one dispatch.
+            # Bucket-pad the upload so different image sizes share
+            # compiled programs (true shape drives the camera model).
+            h0, w0 = img.shape[:2]
+            img_p = np.zeros((bucket_h, bucket_w, 3), img.dtype)
+            img_p[:h0, :w0] = img
+            out_dev = self._detect_forward(
+                self.variables,
+                jnp.asarray(img_p),
+                jnp.asarray([h0, w0], np.float32),
                 jnp.asarray(centers_p),
                 jnp.asarray(scales_p),
+                self.smpl,
             )
-            out_dev = self._forward(self.variables, batch, self.smpl)
             out = {
                 k: np.asarray(v)[:n]
                 for k, v in out_dev.items()

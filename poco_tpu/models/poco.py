@@ -258,9 +258,15 @@ def make_dummy_batch(
 
 
 def init_poco(model: POCO, rng, smpl: SmplParams, batch_size: int = 1):
-    """Initialize all model variables (params, batch_stats, buffers)."""
+    """Initialize all model variables (params, batch_stats, buffers).
+
+    The init is jitted: on remote-TPU tunnels each eager op dispatch pays
+    a round trip, so tracing the whole init into one program matters.
+    """
+    import jax
+
     batch = make_dummy_batch(model.cfg, batch_size, include_gt=True)
-    return model.init(rng, batch, smpl, train=False)
+    return jax.jit(lambda r: model.init(r, batch, smpl, train=False))(rng)
 
 
 def build_poco_cliff(**overrides) -> POCO:

@@ -161,6 +161,7 @@ def preprocess_crops(
     centers: jnp.ndarray,
     scales: jnp.ndarray,
     out_res: int = IMG_RES,
+    true_hw: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Fused demo preprocessing: one image + N detections -> model batch.
 
@@ -170,21 +171,26 @@ def preprocess_crops(
     north star; replaces tester.py:171-212's per-detection host loop).
 
     Args:
-        image: (H, W, 3) uint8/float RGB image.
+        image: (H, W, 3) uint8/float RGB image. May be zero-padded at the
+            bottom/right to a bucketed size (padding reads as
+            border-constant zeros, identical to cv2 semantics).
         centers: (B, 2) bbox centers.
         scales: (B,) bbox height / 200.
+        true_hw: optional (2,) float array with the *unpadded* (h, w) —
+            used for bbox_info / focal / orig_shape so size-bucketing the
+            upload doesn't change the camera model.
     """
     h, w = image.shape[:2]
     crops = crop_and_resize(image, centers, scales * 200.0, out_res=out_res)
     batch = centers.shape[0]
-    orig_shape = jnp.broadcast_to(
-        jnp.asarray([h, w], jnp.float32), (batch, 2)
-    )
+    if true_hw is None:
+        true_hw = jnp.asarray([h, w], jnp.float32)
+    orig_shape = jnp.broadcast_to(true_hw.astype(jnp.float32), (batch, 2))
     return {
         "img": normalize_image(crops),
         "bbox_info": calculate_bbox_info(centers, scales, orig_shape),
         "focal_length": jnp.broadcast_to(
-            calculate_focal_length(float(h), float(w)), (batch,)
+            calculate_focal_length(true_hw[0], true_hw[1]), (batch,)
         ),
         "scale": scales,
         "center": centers,

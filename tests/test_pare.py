@@ -158,3 +158,78 @@ class TestPocoPare:
         assert out["var_pose"].shape == (2, 24)
         assert out["log_phi"].shape == (2, 24)
         assert out["smpl_joints2d"].shape == (2, 49, 2)
+
+
+class TestPareOptionalModes:
+    def _feats(self, b=2, c=32):
+        rng = np.random.RandomState(0)
+        return jnp.asarray(rng.randn(b, 56, 56, c), jnp.float32)
+
+    def test_coattention(self):
+        head = PareHead(num_input_features=32, use_coattention=True)
+        f = self._feats()
+        params = head.init(jax.random.PRNGKey(0), f)
+        out = head.apply(params, f)
+        assert out["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_branch_nonlocal(self):
+        head = PareHead(num_input_features=32, use_branch_nonlocal=True)
+        f = self._feats()
+        params = head.init(jax.random.PRNGKey(0), f)
+        out = head.apply(params, f)
+        assert out["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_final_nonlocal(self):
+        head = PareHead(num_input_features=32, use_final_nonlocal=True)
+        f = self._feats()
+        params = head.init(jax.random.PRNGKey(0), f)
+        out = head.apply(params, f)
+        assert out["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_branch_iteration(self):
+        head = PareHead(num_input_features=32, num_branch_iteration=2)
+        f = self._feats()
+        params = head.init(jax.random.PRNGKey(0), f)
+        out = head.apply(params, f)
+        assert out["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_soft_attention(self):
+        head = PareHead(
+            num_input_features=32, use_soft_attention=True,
+            use_heatmaps="hm_soft",
+        )
+        f = self._feats()
+        params = head.init(jax.random.PRNGKey(0), f)
+        out = head.apply(params, f)
+        assert out["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_position_encodings(self):
+        head = PareHead(num_input_features=32, use_position_encodings=True)
+        f = self._feats()
+        params = head.init(jax.random.PRNGKey(0), f)
+        out = head.apply(params, f)
+        assert out["pred_pose"].shape == (2, 24, 3, 3)
+
+
+class TestAttentionModules:
+    def test_coattention_shapes(self):
+        from poco_tpu.models.attention import CoAttention
+
+        rng = np.random.RandomState(0)
+        a = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        b = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        mod = CoAttention(n_channel=16)
+        params = mod.init(jax.random.PRNGKey(0), a, b)
+        o1, o2 = mod.apply(params, a, b)
+        assert o1.shape == a.shape and o2.shape == b.shape
+
+    def test_nonlocal_identity_at_init(self):
+        from poco_tpu.models.attention import NonLocalBlock
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 6, 6, 16), jnp.float32)
+        mod = NonLocalBlock(16)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(params, x)
+        # zero-initialized residual projection -> identity at init
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
