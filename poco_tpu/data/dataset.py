@@ -243,6 +243,56 @@ def collate(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:
     return batch
 
 
+class ResumableSampler:
+    """Mid-epoch-resumable shuffled index sampler.
+
+    Stores the epoch permutation and a cursor so a checkpointed run can
+    continue from the exact batch it stopped at (reference
+    pocolib/utils/dataloader.py:7-64, CheckpointDataLoader samplers).
+    """
+
+    def __init__(self, n: int, shuffle: bool = True, seed: int = 0):
+        self.n = n
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.cursor = 0
+        self._perm = self._make_perm()
+
+    def _make_perm(self) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng.shuffle(order)
+        return order
+
+    def state_dict(self) -> dict:
+        return {
+            "epoch": self.epoch, "cursor": self.cursor,
+            "seed": self.seed, "perm": self._perm.tolist(),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.epoch = state["epoch"]
+        self.cursor = state["cursor"]
+        self.seed = state["seed"]
+        self._perm = np.asarray(state["perm"])
+
+    def next_epoch(self) -> None:
+        self.epoch += 1
+        self.cursor = 0
+        self._perm = self._make_perm()
+
+    def take(self, k: int) -> np.ndarray:
+        idx = self._perm[self.cursor : self.cursor + k]
+        self.cursor += len(idx)
+        return idx
+
+    @property
+    def remaining(self) -> int:
+        return self.n - self.cursor
+
+
 class DataLoader:
     """Minimal single-host loader with background-thread prefetch."""
 

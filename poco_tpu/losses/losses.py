@@ -51,6 +51,10 @@ class LossConfig:
     loss_ver: str = "norm_flow_res_gaus"
     uncert_type: str = "pose"
     exclude_uncert_idx: tuple[int, ...] = ()
+    use_smpl_segm_loss: bool = False
+    smpl_segm_loss_weight: float = 1.0
+    use_smpl_render_loss: bool = False
+    smpl_render_loss_weight: float = 1.0
 
     @property
     def effective_pose_weight(self) -> float:
@@ -232,6 +236,27 @@ def poco_loss(
         "loss/loss_shape": loss_shape * cfg.shape_loss_weight,
         "loss/loss_cam": loss_cam,
     }
+
+    # Optional part-segmentation CE (reference losses.py:334-340) and
+    # differentiable-render MSE (losses.py:328-332).
+    if cfg.use_smpl_segm_loss and "pred_segm_mask" in pred and "gt_segm_mask" in gt:
+        from .segmentation import part_segmentation_loss
+
+        loss_dict["loss/loss_smpl_segm"] = (
+            part_segmentation_loss(
+                pred["pred_segm_mask"], gt["gt_segm_mask"], has_smpl
+            )
+            * cfg.smpl_segm_loss_weight
+        )
+    if (
+        cfg.use_smpl_render_loss
+        and "pred_smpl_render" in pred
+        and "gt_smpl_render" in gt
+    ):
+        loss_dict["loss/loss_smpl_render"] = (
+            jnp.mean((pred["pred_smpl_render"] - gt["gt_smpl_render"]) ** 2)
+            * cfg.smpl_render_loss_weight
+        )
 
     # Normalizing-flow calibration loss (reference losses.py:342-347).
     log_phi = pred.get("log_phi")

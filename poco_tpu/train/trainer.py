@@ -179,6 +179,14 @@ class Trainer:
         n_crops = 0
         t0 = time.perf_counter()
         last_metrics: dict[str, float] = {}
+
+        # Profiling hook (replaces the reference's unused
+        # DeviceStatsMonitor, train.py:78): set POCO_TPU_PROFILE_DIR to
+        # capture a jax.profiler trace of this epoch's first steps.
+        profile_dir = os.environ.get("POCO_TPU_PROFILE_DIR")
+        if profile_dir and epoch == 0:
+            jax.profiler.start_trace(profile_dir)
+
         with self.mesh:
             state = replicate_tree(self.state, self.mesh)
             smpl = replicate_tree(self.smpl, self.mesh)
@@ -196,7 +204,13 @@ class Trainer:
                     self._log(
                         {"epoch": epoch, "step": step_i, **last_metrics}
                     )
+                if profile_dir and epoch == 0 and step_i == 4:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profile_dir = None
             self.state = state
+        if profile_dir and epoch == 0:
+            jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
         last_metrics["crops_per_sec"] = n_crops / max(dt, 1e-9)
         return last_metrics

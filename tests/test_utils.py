@@ -95,3 +95,98 @@ class TestCliSmoke:
                 capture_output=True, timeout=120, env=env,
             )
             assert r.returncode == 0, r.stderr.decode()[-500:]
+
+
+class TestCluster:
+    def test_bash_launcher(self, tmp_path):
+        import yaml
+        from poco_tpu.utils.cluster import num_experiments, write_launcher
+
+        cfg = tmp_path / "sweep.yaml"
+        yaml.safe_dump({"OPTIMIZER": {"LR": [1e-4, 1e-5]}}, open(cfg, "w"))
+        assert num_experiments(str(cfg)) == 2
+        path = write_launcher(str(cfg), out_dir=str(tmp_path))
+        body = open(path).read()
+        assert "seq 0 1" in body and "--cfg_id" in body
+
+    def test_slurm_launcher(self, tmp_path):
+        import yaml
+        from poco_tpu.utils.cluster import write_launcher
+
+        cfg = tmp_path / "one.yaml"
+        yaml.safe_dump({"METHOD": "poco"}, open(cfg, "w"))
+        path = write_launcher(str(cfg), out_dir=str(tmp_path), scheduler="slurm")
+        assert "#SBATCH --array=0-0" in open(path).read()
+
+
+class TestPoseTracker:
+    def test_read_posetrack_json(self, tmp_path):
+        import json
+        from poco_tpu.utils.pose_tracker import read_posetrack_keypoints
+
+        for frame in range(3):
+            data = {
+                "people": [
+                    {
+                        "person_id": [7],
+                        "pose_keypoints_2d": [10.0, 20.0, 0.9] * 21,
+                    }
+                ]
+            }
+            json.dump(
+                data, open(tmp_path / f"{frame:06d}_keypoints.json", "w")
+            )
+        tracks = read_posetrack_keypoints(str(tmp_path))
+        assert 7 in tracks
+        assert tracks[7]["joints2d"].shape == (3, 21, 3)
+        assert list(tracks[7]["frames"]) == [0, 1, 2]
+
+
+class TestResumableSampler:
+    def test_resume_continues_permutation(self):
+        from poco_tpu.data.dataset import ResumableSampler
+
+        s = ResumableSampler(10, seed=3)
+        first = s.take(4)
+        state = s.state_dict()
+
+        s2 = ResumableSampler(10, seed=99)  # different seed, overridden
+        s2.load_state_dict(state)
+        rest = s2.take(6)
+        combined = np.concatenate([first, rest])
+        assert sorted(combined.tolist()) == list(range(10))
+
+    def test_next_epoch_reshuffles(self):
+        from poco_tpu.data.dataset import ResumableSampler
+
+        s = ResumableSampler(50, seed=0)
+        a = s.take(50).copy()
+        s.next_epoch()
+        b = s.take(50).copy()
+        assert not np.array_equal(a, b)
+        assert sorted(b.tolist()) == list(range(50))
+
+
+class TestSegmentationLosses:
+    def test_part_segm_ce_perfect_prediction_low(self):
+        import jax.numpy as jnp
+        from poco_tpu.losses.segmentation import part_segmentation_loss
+
+        gt = np.random.RandomState(0).randint(0, 5, (2, 8, 8))
+        logits = np.full((2, 5, 8, 8), -10.0, np.float32)
+        for b in range(2):
+            for i in range(8):
+                for j in range(8):
+                    logits[b, gt[b, i, j], i, j] = 10.0
+        loss = float(
+            part_segmentation_loss(jnp.asarray(logits), jnp.asarray(gt))
+        )
+        assert loss < 1e-3
+
+    def test_neg_iou(self):
+        import jax.numpy as jnp
+        from poco_tpu.losses.segmentation import neg_iou_loss
+
+        a = jnp.ones((1, 8, 8))
+        assert float(neg_iou_loss(a, a)) < 1e-5
+        assert float(neg_iou_loss(a, 1 - a)) > 0.99
