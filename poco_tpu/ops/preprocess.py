@@ -117,6 +117,51 @@ def crop_and_resize(
     return bilinear_sample_image(image, xs, ys)
 
 
+def crop_and_resize_mxu(
+    image: jnp.ndarray,
+    center: jnp.ndarray,
+    bbox_size: jnp.ndarray,
+    out_res: int = IMG_RES,
+) -> jnp.ndarray:
+    """Axis-aligned crop/resize as two MXU matmuls (TPU fast path).
+
+    An unrotated bilinear resample is separable: out = Ry @ img @ Rx^T,
+    where Ry (R, H) and Rx (R, W) carry at most two bilinear taps per
+    row. Building the weight matrices densely (VPU broadcast compare)
+    and contracting them on the MXU replaces the per-pixel gather of
+    `crop_and_resize` — the gather-free formulation TPUs prefer.
+    Zero-padding outside the image falls out of the weight rows summing
+    to < 1 at the borders.
+
+    Args:
+        image: (H, W, 3) source image.
+        center: (B, 2) crop centers (x, y).
+        bbox_size: (B,) bbox edge in source pixels.
+    Returns:
+        (B, out_res, out_res, 3) float32 crops.
+    """
+    image = image.astype(jnp.float32)
+    h, w = image.shape[:2]
+
+    def weight_matrix(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+        """(B, R) source coords -> (B, R, n) bilinear weight rows."""
+        idx = jnp.arange(n, dtype=jnp.float32)
+        d = jnp.abs(coords[..., None] - idx)        # (B, R, n)
+        return jnp.maximum(0.0, 1.0 - d)
+
+    grid = jnp.arange(out_res, dtype=jnp.float32)
+    scale = (bbox_size / out_res)[:, None]
+    xs = (grid[None, :] - out_res / 2.0) * scale + center[:, :1]
+    ys = (grid[None, :] - out_res / 2.0) * scale + center[:, 1:2]
+
+    rx = weight_matrix(xs, w)                       # (B, R, W)
+    ry = weight_matrix(ys, h)                       # (B, R, H)
+
+    # out[b, i, j, c] = sum_{y,x} ry[b,i,y] rx[b,j,x] img[y,x,c]
+    tmp = jnp.einsum("biy,yxc->bixc", ry, image)    # (B, R, W, 3)
+    return jnp.einsum("bjx,bixc->bijc", rx, tmp)
+
+
 def normalize_image(crops: jnp.ndarray, max_val: float = 255.0) -> jnp.ndarray:
     """ImageNet normalization (reference constants.py:2-3).
 

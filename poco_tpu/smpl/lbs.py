@@ -21,9 +21,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+# SMPL numerical parity (0.5 mm MPJPE budget, SURVEY.md §7.3) requires
+# true-fp32 contractions: TPU matmuls default to bf16 passes otherwise.
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
 @struct.dataclass
@@ -69,12 +74,13 @@ def blend_shapes(betas: jnp.ndarray, shapedirs: jnp.ndarray) -> jnp.ndarray:
     """(B, num_betas) x (V, 3, num_betas) -> (B, V, 3) shape offsets."""
     num_verts = shapedirs.shape[0]
     basis = shapedirs.reshape(num_verts * 3, -1)  # (V*3, nb)
-    return (betas @ basis.T).reshape(betas.shape[0], num_verts, 3)
+    offsets = jnp.dot(betas, basis.T, precision=_PRECISION)
+    return offsets.reshape(betas.shape[0], num_verts, 3)
 
 
 def vertices2joints(j_regressor: jnp.ndarray, verts: jnp.ndarray) -> jnp.ndarray:
     """(J, V) x (B, V, 3) -> (B, J, 3)."""
-    return jnp.einsum("jv,bvk->bjk", j_regressor, verts)
+    return jnp.einsum("jv,bvk->bjk", j_regressor, verts, precision=_PRECISION)
 
 
 def batch_rigid_transform(
@@ -123,6 +129,7 @@ def lbs(
     betas: jnp.ndarray,
     pose_rotmats: jnp.ndarray,
     params: SmplParams,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full SMPL LBS forward.
 
@@ -148,9 +155,9 @@ def lbs(
     # 3. Pose-corrective blendshapes (identity-relative, body joints only).
     ident = jnp.eye(3, dtype=dtype)
     pose_feature = (pose_rotmats[:, 1:] - ident).reshape(batch, -1)  # (B, 207)
-    pose_offsets = (pose_feature @ params.posedirs).reshape(
-        batch, num_verts, 3
-    )
+    pose_offsets = jnp.dot(
+        pose_feature, params.posedirs, precision=_PRECISION
+    ).reshape(batch, num_verts, 3)
     v_posed = v_shaped + pose_offsets
 
     # 4. Forward kinematics.
@@ -158,15 +165,25 @@ def lbs(
         pose_rotmats, j_rest, params.parents
     )
 
-    # 5. Skinning: per-vertex blended transform.
-    tfm_flat = rel_tfms.reshape(batch, rel_tfms.shape[1], 16)
-    vert_tfms = jnp.einsum("vj,bjk->bvk", params.lbs_weights, tfm_flat)
-    vert_tfms = vert_tfms.reshape(batch, num_verts, 4, 4)
+    # 5. Skinning: per-vertex blended transform. The Pallas path fuses
+    # the blend and the transform so the (B, V, 16) per-vertex transform
+    # tensor never hits HBM (ops/pallas_lbs.py); the XLA path is the
+    # plain einsum formulation.
+    if use_pallas:
+        from ..ops.pallas_lbs import skinning_pallas
 
-    verts = (
-        jnp.einsum("bvxy,bvy->bvx", vert_tfms[:, :, :3, :3], v_posed)
-        + vert_tfms[:, :, :3, 3]
-    )
+        verts = skinning_pallas(params.lbs_weights, rel_tfms, v_posed)
+    else:
+        tfm_flat = rel_tfms.reshape(batch, rel_tfms.shape[1], 16)
+        vert_tfms = jnp.einsum(
+            "vj,bjk->bvk", params.lbs_weights, tfm_flat,
+            precision=_PRECISION,
+        )
+        vert_tfms = vert_tfms.reshape(batch, num_verts, 4, 4)
+        verts = (
+            jnp.einsum("bvxy,bvy->bvx", vert_tfms[:, :, :3, :3], v_posed)
+            + vert_tfms[:, :, :3, 3]
+        )
     return verts, joints_posed
 
 

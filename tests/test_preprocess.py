@@ -149,3 +149,33 @@ class TestFusedPipeline:
             np.asarray(batch["orig_shape"][0]), [240.0, 320.0]
         )
         assert np.all(np.isfinite(np.asarray(batch["img"])))
+
+
+class TestMxuCrop:
+    def test_matches_gather_formulation(self):
+        from poco_tpu.ops.preprocess import crop_and_resize_mxu
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 255, (96, 128, 3)).astype(np.float32)
+        centers = jnp.asarray([[64.0, 48.0], [30.0, 20.0]])
+        sizes = jnp.asarray([60.0, 40.0])
+        a = np.asarray(
+            crop_and_resize(jnp.asarray(img), centers, sizes, out_res=32)
+        )
+        b = np.asarray(
+            crop_and_resize_mxu(jnp.asarray(img), centers, sizes, out_res=32)
+        )
+        np.testing.assert_allclose(a, b, atol=1e-2)
+
+    def test_zero_padding_out_of_bounds(self):
+        from poco_tpu.ops.preprocess import crop_and_resize_mxu
+
+        img = jnp.ones((50, 50, 3)) * 100.0
+        out = np.asarray(
+            crop_and_resize_mxu(
+                img, jnp.asarray([[0.0, 0.0]]), jnp.asarray([60.0]),
+                out_res=16,
+            )
+        )[0]
+        assert out[0, 0].sum() == 0.0
+        assert out[-1, -1].sum() > 0.0

@@ -191,3 +191,63 @@ class TestSmplHeads:
             2 * 1118.0 / (1.2 * 200.0 / 224.0 * 224.0 * 1.0),
             rtol=1e-5,
         )
+
+
+class TestPallasSkinning:
+    def test_matches_einsum_path(self):
+        """Interpret-mode Pallas skinning == XLA einsum skinning."""
+        from poco_tpu.ops.pallas_lbs import skinning_pallas
+
+        rng = np.random.RandomState(0)
+        B, V, J = 2, 100, 24
+        w = rng.rand(V, J).astype(np.float32)
+        w /= w.sum(1, keepdims=True)
+        tfms = np.broadcast_to(np.eye(4, dtype=np.float32), (B, J, 4, 4)).copy()
+        tfms[:, :, :3, 3] = 0.1 * rng.randn(B, J, 3)
+        aa = 0.3 * rng.randn(B * J, 3).astype(np.float32)
+        tfms[:, :, :3, :3] = np.asarray(
+            axis_angle_to_rotmat(jnp.asarray(aa))
+        ).reshape(B, J, 3, 3)
+        vp = rng.randn(B, V, 3).astype(np.float32)
+
+        ref_flat = tfms.reshape(B, J, 16)
+        vt = np.einsum("vj,bjk->bvk", w, ref_flat).reshape(B, V, 4, 4)
+        ref = (
+            np.einsum("bvxy,bvy->bvx", vt[:, :, :3, :3], vp)
+            + vt[:, :, :3, 3]
+        )
+
+        out = np.asarray(
+            skinning_pallas(
+                jnp.asarray(w), jnp.asarray(tfms), jnp.asarray(vp),
+                vertex_tile=32, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_lbs_use_pallas_flag(self):
+        from poco_tpu.smpl.lbs import lbs
+
+        params = synthetic_smpl_model(num_verts=64, seed=11)
+        rng = np.random.RandomState(1)
+        betas = jnp.asarray(rng.randn(2, 10), jnp.float32)
+        aa = (0.3 * rng.randn(2, 24, 3)).astype(np.float32)
+        rotmats = np.asarray(
+            axis_angle_to_rotmat(jnp.asarray(aa).reshape(-1, 3))
+        ).reshape(2, 24, 3, 3)
+
+        import unittest.mock as mock
+        from poco_tpu.ops import pallas_lbs
+
+        orig = pallas_lbs.skinning_pallas
+        with mock.patch.object(
+            pallas_lbs, "skinning_pallas",
+            lambda w, t, v, **kw: orig(w, t, v, interpret=True, **kw),
+        ):
+            v_pallas, j_pallas = lbs(
+                betas, jnp.asarray(rotmats), params, use_pallas=True
+            )
+        v_ref, j_ref = lbs(betas, jnp.asarray(rotmats), params)
+        np.testing.assert_allclose(
+            np.asarray(v_pallas), np.asarray(v_ref), atol=1e-4
+        )
