@@ -113,6 +113,8 @@ def get_hparams_defaults() -> CfgNode:
                 "CHECK_VAL_EVERY_N_EPOCH": 1,
                 "FREEZE_PARAMS": "",
                 "RELOAD_DATALOADERS_EVERY_EPOCH": True,
+                "SAVE_IMAGES": False,
+                "LOG_FREQ_TB_IMAGES": 500,
                 "USE_AUGM": True,
                 "NUM_DEVICES": 1,
                 "PRECISION": 32,

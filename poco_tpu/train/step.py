@@ -92,7 +92,7 @@ def make_train_step(
         model_batch = dict(batch)
         model_batch["gt_pose_rotmat"] = gt["gt_pose_rotmat"]
 
-        def loss_fn(params):
+        def loss_fn_with_out(params):
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
@@ -107,16 +107,25 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             loss, loss_dict = poco_loss(out, gt, loss_cfg)
-            return loss, (loss_dict, mutated.get("batch_stats"))
+            return loss, (loss_dict, mutated.get("batch_stats"), out)
 
-        (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
+        (loss, (loss_dict, new_stats, out)), grads = jax.value_and_grad(
+            loss_fn_with_out, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads)
         if new_stats is not None:
             new_state = new_state.replace(batch_stats=new_stats)
         metrics = dict(loss_dict)
         metrics["grad_norm"] = optax_global_norm(grads)
+        # Non-scalar auxiliaries ("_"-prefixed; the trainer pops them):
+        # uncertainty stats input and a small viz payload.
+        if out.get("var_pose") is not None:
+            metrics["_var_pose"] = out["var_pose"]
+        metrics["_viz"] = {
+            "pred_verts": out["smpl_vertices"][:4],
+            "pred_cam": out["pred_cam"][:4],
+            "gt_verts": gt["vertices"][:4],
+        }
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -112,6 +112,12 @@ class Trainer:
         self.state = create_train_state(self.model, variables, tx)
         self.train_step = make_train_step(self.model, self.loss_cfg)
 
+        from ..eval.uncert_stats import UncertStatsTracker
+
+        self.uncert_stats = UncertStatsTracker(
+            loss_ver=hparams.POCO.LOSS_VER if hparams.METHOD == "poco"
+            else "mse",
+        )
         self.best_metric = float("inf")
         self.best_corr = -float("inf")
         self.epoch = 0
@@ -198,12 +204,40 @@ class Trainer:
                 )
                 n_crops += host_batch["img"].shape[0]
                 if step_i % self.hparams.TRAINING.LOG_SAVE_INTERVAL == 0:
+                    var_pose = metrics.pop("_var_pose", None)
+                    viz = metrics.pop("_viz", None)
                     last_metrics = {
                         k: float(v) for k, v in metrics.items()
+                        if not k.startswith("_")
                     }
                     self._log(
                         {"epoch": epoch, "step": step_i, **last_metrics}
                     )
+                    # Per-joint uncertainty stats (reference
+                    # poco_utils.accumulate_uncert, trainer.py:286-289).
+                    if var_pose is not None:
+                        self.uncert_stats.update(np.asarray(var_pose))
+                    # Mesh comparison grids (reference TB image
+                    # summaries, trainer.py:467-583).
+                    if (
+                        self.hparams.TRAINING.get("SAVE_IMAGES")
+                        and viz is not None
+                    ):
+                        from ..viz.train_viz import (
+                            render_training_grid,
+                            save_training_grid,
+                        )
+
+                        grid = render_training_grid(
+                            np.asarray(batch["img"][:4]),
+                            np.asarray(viz["pred_verts"]),
+                            np.asarray(viz["pred_cam"]),
+                            np.asarray(self.smpl.faces),
+                            gt_verts=np.asarray(viz["gt_verts"]),
+                        )
+                        save_training_grid(
+                            grid, self.logdir, f"train_e{epoch}_s{step_i}"
+                        )
                 if profile_dir and epoch == 0 and step_i == 4:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
@@ -213,6 +247,11 @@ class Trainer:
             jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
         last_metrics["crops_per_sec"] = n_crops / max(dt, 1e-9)
+        if self.uncert_stats.meters and any(
+            m.count for m in self.uncert_stats.meters.values()
+        ):
+            self.uncert_stats.dump(self.logdir, f"train_e{epoch}")
+            self.uncert_stats.reset()
         return last_metrics
 
     def validate(self, epoch: int) -> dict[str, float]:

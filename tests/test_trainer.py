@@ -224,3 +224,52 @@ class TestTrainerEndToEnd:
         b = jax.tree.leaves(trainer2.state.params)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestTrainerVizAndStats:
+    def test_save_images_and_uncert_stats(self, tmp_path):
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.DATASET.BATCH_SIZE = 8
+        h.TRAINING.LOG_SAVE_INTERVAL = 1
+        h.TRAINING.SAVE_IMAGES = True
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        ds = _ArrayDataset(n=8)
+        trainer = Trainer(
+            h, smpl, train_dataset_fn=lambda e: ds, val_dataset=None
+        )
+        trainer.fit(max_epochs=1)
+        imgs = os.listdir(os.path.join(h.LOG_DIR, "images"))
+        assert any(f.startswith("train_e0") for f in imgs)
+        assert os.path.exists(
+            os.path.join(h.LOG_DIR, "uncert_stats_train_e0.json")
+        )
+
+
+class TestUncertStatsTracker:
+    def test_accumulates_and_dumps(self, tmp_path):
+        from poco_tpu.eval.uncert_stats import UncertStatsTracker
+
+        tracker = UncertStatsTracker()
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            tracker.update(
+                rng.rand(8, 24).astype(np.float32), keep_histogram=True
+            )
+        summary = tracker.summary()
+        assert len(summary["uncert_mean"]) == 24
+        assert 0.3 < summary["uncert_mean"]["pelvis"] < 0.7
+        path = tracker.dump(str(tmp_path), "val")
+        import json
+
+        payload = json.load(open(path))
+        assert "histograms" in payload
+        assert sum(payload["histograms"]["pelvis"]) == 24
