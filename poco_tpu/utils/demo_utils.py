@@ -15,24 +15,43 @@ from collections import OrderedDict
 import numpy as np
 
 
+def _has_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
 def video_to_images(
     vid_file: str, img_folder: str | None = None, return_info: bool = False
 ):
-    """Extract frames with ffmpeg (reference demo_utils.py:183-208)."""
+    """Extract frames: ffmpeg when available (reference
+    demo_utils.py:183-208), cv2.VideoCapture otherwise."""
+    import cv2
+
     if img_folder is None:
         img_folder = osp.join(
             "/tmp", osp.basename(vid_file).replace(".", "_")
         )
     os.makedirs(img_folder, exist_ok=True)
-    command = [
-        "ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error",
-        f"{img_folder}/%06d.png",
-    ]
-    subprocess.run(command, check=True)
+    if _has_ffmpeg():
+        command = [
+            "ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error",
+            f"{img_folder}/%06d.png",
+        ]
+        subprocess.run(command, check=True)
+    else:
+        cap = cv2.VideoCapture(vid_file)
+        idx = 1
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            cv2.imwrite(osp.join(img_folder, f"{idx:06d}.png"), frame)
+            idx += 1
+        cap.release()
     if return_info:
-        import cv2
-
-        img_shape = cv2.imread(osp.join(img_folder, "000001.png")).shape
+        first = sorted(os.listdir(img_folder))[0]
+        img_shape = cv2.imread(osp.join(img_folder, first)).shape
         return img_folder, len(os.listdir(img_folder)), img_shape
     return img_folder
 
@@ -41,15 +60,33 @@ def images_to_video(
     img_folder: str, output_vid_file: str, fps: int = 30,
     pattern: str = "%06d.png",
 ):
-    """Assemble frames into an mp4 (reference demo_utils.py:237-246)."""
+    """Assemble frames into an mp4 (reference demo_utils.py:237-246);
+    cv2.VideoWriter fallback when ffmpeg is unavailable."""
+    import cv2
+
     os.makedirs(osp.dirname(output_vid_file) or ".", exist_ok=True)
-    command = [
-        "ffmpeg", "-y", "-framerate", str(fps), "-threads", "16", "-i",
-        f"{img_folder}/{pattern}", "-profile:v", "baseline", "-level",
-        "3.0", "-c:v", "libx264", "-pix_fmt", "yuv420p", "-an", "-v",
-        "error", output_vid_file,
-    ]
-    subprocess.run(command, check=True)
+    if _has_ffmpeg():
+        command = [
+            "ffmpeg", "-y", "-framerate", str(fps), "-threads", "16", "-i",
+            f"{img_folder}/{pattern}", "-profile:v", "baseline", "-level",
+            "3.0", "-c:v", "libx264", "-pix_fmt", "yuv420p", "-an", "-v",
+            "error", output_vid_file,
+        ]
+        subprocess.run(command, check=True)
+        return
+    frames = sorted(
+        f for f in os.listdir(img_folder) if f.endswith((".png", ".jpg"))
+    )
+    if not frames:
+        raise FileNotFoundError(f"no frames in {img_folder}")
+    first = cv2.imread(osp.join(img_folder, frames[0]))
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(
+        output_vid_file, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for f in frames:
+        writer.write(cv2.imread(osp.join(img_folder, f)))
+    writer.release()
 
 
 def convert_crop_cam_to_orig_img(

@@ -239,3 +239,27 @@ class TestTesterFolder:
         results = tester.run_on_video(frame_folder, smooth=True)
         person = results[list(results)[0]]
         assert np.all(np.isfinite(person["verts"]))
+
+
+class TestVideoIO:
+    def test_video_roundtrip_cv2(self, tmp_path):
+        """video_to_images / images_to_video with the cv2 fallback."""
+        from poco_tpu.utils.demo_utils import images_to_video, video_to_images
+
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(5):
+            cv2.imwrite(
+                str(src_dir / f"{i + 1:06d}.png"),
+                rng.randint(0, 255, (64, 80, 3), dtype=np.uint8),
+            )
+        vid = str(tmp_path / "clip.mp4")
+        images_to_video(str(src_dir), vid, fps=5)
+        assert os.path.getsize(vid) > 0
+
+        out_dir, n, shape = video_to_images(
+            vid, str(tmp_path / "frames"), return_info=True
+        )
+        assert n == 5
+        assert shape[:2] == (64, 80)
