@@ -157,6 +157,15 @@ class PocoDataset:
 
     def _load_image(self, index: int) -> np.ndarray:
         path = os.path.join(self.img_dir, str(self.imgname[index]))
+        # Native fast path (opt-in): threaded C++ JPEG decode
+        # (poco_tpu/runtime/loader.py).
+        if os.environ.get("POCO_TPU_NATIVE_LOADER") and path.lower().endswith(
+            (".jpg", ".jpeg")
+        ):
+            from ..runtime import loader as native_loader
+
+            if native_loader.native_available():
+                return native_loader.decode_jpeg(path).astype(np.float32)
         img = cv2.imread(path)
         if img is None:
             raise FileNotFoundError(path)

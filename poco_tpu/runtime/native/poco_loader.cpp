@@ -1,0 +1,184 @@
+// Native host-side data loader: threaded JPEG decode + affine crop.
+//
+// The TPU input pipeline is host-bound: per-item JPEG decode and the
+// bilinear bbox crop dominate loader time (the reference does both in
+// Python workers via cv2, pocolib/dataset/base_dataset.py:276-283 /
+// image_utils.py:189-206). This module provides the same two operations
+// as a C ABI shared library with an internal thread pool so a whole
+// batch decodes+crops in one call:
+//
+//   poco_decode_jpeg          one image,  RGB uint8 out
+//   poco_affine_crop          one crop,   float32 RGB out (cv2-parity
+//                             bilinear, BORDER_CONSTANT=0)
+//   poco_batch_decode_crop    N files -> (N, R, R, 3) float32 batch,
+//                             parallel across a thread pool
+//
+// Built by poco_tpu/runtime/loader.py with:
+//   g++ -O3 -shared -fPIC poco_loader.cpp -o libpoco_loader.so -ljpeg
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+#include <cmath>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG byte buffer to RGB8. Returns 0 on success.
+int decode_jpeg_impl(const uint8_t* data, size_t size, uint8_t* out,
+                     int max_h, int max_w, int* out_h, int* out_w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int h = static_cast<int>(cinfo.output_height);
+  const int w = static_cast<int>(cinfo.output_width);
+  if (h > max_h || w > max_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  *out_h = h;
+  *out_w = w;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// cv2-parity bilinear sample with BORDER_CONSTANT=0.
+inline void sample_bilinear(const uint8_t* img, int h, int w,
+                            float x, float y, float* rgb) {
+  const int x0 = static_cast<int>(std::floor(x));
+  const int y0 = static_cast<int>(std::floor(y));
+  const float wx = x - x0;
+  const float wy = y - y0;
+  for (int c = 0; c < 3; ++c) rgb[c] = 0.f;
+  for (int dy = 0; dy < 2; ++dy) {
+    const int yy = y0 + dy;
+    if (yy < 0 || yy >= h) continue;
+    const float fy = dy ? wy : 1.f - wy;
+    for (int dx = 0; dx < 2; ++dx) {
+      const int xx = x0 + dx;
+      if (xx < 0 || xx >= w) continue;
+      const float f = fy * (dx ? wx : 1.f - wx);
+      const uint8_t* p = img + (static_cast<size_t>(yy) * w + xx) * 3;
+      rgb[0] += f * p[0];
+      rgb[1] += f * p[1];
+      rgb[2] += f * p[2];
+    }
+  }
+}
+
+void affine_crop_impl(const uint8_t* img, int h, int w, float cx, float cy,
+                      float bbox_size, int out_res, float* out) {
+  const float scale = bbox_size / out_res;
+  for (int i = 0; i < out_res; ++i) {
+    const float sy = (i - out_res * 0.5f) * scale + cy;
+    for (int j = 0; j < out_res; ++j) {
+      const float sx = (j - out_res * 0.5f) * scale + cx;
+      sample_bilinear(img, h, w,
+                      sx, sy,
+                      out + (static_cast<size_t>(i) * out_res + j) * 3);
+    }
+  }
+}
+
+std::vector<uint8_t> read_file(const char* path) {
+  std::vector<uint8_t> buf;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return buf;
+  std::fseek(f, 0, SEEK_END);
+  const long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize(static_cast<size_t>(size));
+  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) buf.clear();
+  std::fclose(f);
+  return buf;
+}
+
+}  // namespace
+
+extern "C" {
+
+int poco_decode_jpeg(const uint8_t* data, size_t size, uint8_t* out,
+                     int max_h, int max_w, int* out_h, int* out_w) {
+  return decode_jpeg_impl(data, size, out, max_h, max_w, out_h, out_w);
+}
+
+void poco_affine_crop(const uint8_t* img, int h, int w, float cx, float cy,
+                      float bbox_size, int out_res, float* out) {
+  affine_crop_impl(img, h, w, cx, cy, bbox_size, out_res, out);
+}
+
+// Decode + crop a batch of JPEG files in parallel.
+//   paths: n C strings; centers: (n, 2); bbox_sizes: (n,)
+//   out: (n, out_res, out_res, 3) float32
+//   statuses: (n,) int (0 ok, negative = decode failure)
+void poco_batch_decode_crop(const char** paths, int n,
+                            const float* centers, const float* bbox_sizes,
+                            int out_res, int max_h, int max_w,
+                            float* out, int* statuses, int num_threads) {
+  if (num_threads < 1) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads < 1) num_threads = 1;
+  }
+  num_threads = std::min(num_threads, n);
+
+  auto worker = [&](int tid) {
+    std::vector<uint8_t> decode_buf(
+        static_cast<size_t>(max_h) * max_w * 3);
+    for (int i = tid; i < n; i += num_threads) {
+      std::vector<uint8_t> bytes = read_file(paths[i]);
+      if (bytes.empty()) {
+        statuses[i] = -3;
+        continue;
+      }
+      int h = 0, w = 0;
+      const int rc = decode_jpeg_impl(bytes.data(), bytes.size(),
+                                      decode_buf.data(), max_h, max_w,
+                                      &h, &w);
+      statuses[i] = rc;
+      if (rc != 0) continue;
+      affine_crop_impl(decode_buf.data(), h, w,
+                       centers[2 * i], centers[2 * i + 1], bbox_sizes[i],
+                       out_res,
+                       out + static_cast<size_t>(i) * out_res * out_res * 3);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"
