@@ -65,6 +65,8 @@ def main():
                         help="grid-search experiment index")
     parser.add_argument("--smpl_dir", default=None,
                         help="SMPL model directory (else synthetic)")
+    parser.add_argument("--data_dir", default=None,
+                        help="override DATASET.DATA_DIR")
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint path")
     args = parser.parse_args()
@@ -76,6 +78,8 @@ def main():
     from poco_tpu.utils.os_utils import copy_code
 
     hparams = run_grid_search_experiments(args.cfg, args.cfg_id)
+    if args.data_dir:
+        hparams.DATASET.DATA_DIR = args.data_dir
     copy_code(hparams.LOG_DIR)
 
     smpl = resolve_smpl_params(args.smpl_dir, "neutral")
