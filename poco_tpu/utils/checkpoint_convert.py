@@ -399,6 +399,37 @@ def merge_converted(variables: dict, converted: dict) -> dict:
     return result, result_stats
 
 
+def get_model_path(logdir: str, inf_model: str = "best") -> str:
+    """Resolve a checkpoint inside a run logdir.
+
+    Mirrors the reference's inference-time selection
+    (train_utils.py:126-136, --inf_model demo flag): "best" ->
+    best_model, "best_mpjpe_var" -> the uncertainty-tie-broken snapshot,
+    anything else -> the newest checkpoint in the directory.
+    """
+    import glob
+    import os
+
+    candidates = {
+        "best": os.path.join(logdir, "best_model"),
+        "best_mpjpe_var": os.path.join(logdir, "best_model_mpjpe_var"),
+        "last": os.path.join(logdir, "last"),
+    }
+    path = candidates.get(inf_model)
+    if path and os.path.exists(path):
+        return path
+    ckpts = sorted(
+        glob.glob(os.path.join(logdir, "*")), key=os.path.getmtime
+    )
+    ckpts = [
+        c for c in ckpts
+        if os.path.isdir(c) or c.endswith((".pt", ".ckpt"))
+    ]
+    if not ckpts:
+        raise FileNotFoundError(f"no checkpoint in {logdir}")
+    return ckpts[-1]
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Read a torch checkpoint file into a flat state_dict
     (unwraps 'model' / 'state_dict' nesting, poco.py:134-136)."""

@@ -55,6 +55,34 @@ PW3D_JOINT_NAMES = [
     "rhip", "rknee", "rankle", "lhip", "lknee", "lankle",
 ]
 
+MPII3D_TEST_JOINT_NAMES = [
+    "headtop", "neck",
+    "rshoulder", "relbow", "rwrist", "lshoulder", "lelbow", "lwrist",
+    "rhip", "rknee", "rankle", "lhip", "lknee", "lankle",
+    "hip", "Spine (H36M)", "Head (H36M)",
+]
+
+MPII3D_JOINT_NAMES = [
+    "spine3", "spine4", "spine2", "Spine (H36M)", "hip", "neck",
+    "Head (H36M)", "headtop", "left_clavicle",
+    "lshoulder", "lelbow", "lwrist", "left_hand",
+    "right_clavicle", "rshoulder", "relbow", "rwrist", "right_hand",
+    "lhip", "lknee", "lankle", "left_foot", "left_toe",
+    "rhip", "rknee", "rankle", "right_foot", "right_toe",
+]
+
+POSETRACK_JOINT_NAMES = [
+    "nose", "neck", "headtop", "lear", "rear",
+    "lshoulder", "rshoulder", "lelbow", "relbow", "lwrist", "rwrist",
+    "lhip", "rhip", "lknee", "rknee", "lankle", "rankle",
+]
+
+PENNACTION_JOINT_NAMES = [
+    "headtop", "lshoulder", "rshoulder", "lelbow", "relbow",
+    "lwrist", "rwrist", "lhip", "rhip", "lknee", "rknee",
+    "lankle", "rankle",
+]
+
 JOINT_NAME_REGISTRY: dict[str, list[str]] = {
     "spin": SPIN_JOINT_NAMES,
     "h36m": H36M_JOINT_NAMES,
@@ -63,6 +91,10 @@ JOINT_NAME_REGISTRY: dict[str, list[str]] = {
     "common": COMMON_JOINT_NAMES,
     "3dpw": PW3D_JOINT_NAMES,
     "smpl": SMPL_JOINT_NAMES,
+    "mpii3d_test": MPII3D_TEST_JOINT_NAMES,
+    "mpii3d": MPII3D_JOINT_NAMES,
+    "posetrack": POSETRACK_JOINT_NAMES,
+    "pennaction": PENNACTION_JOINT_NAMES,
 }
 
 

@@ -190,3 +190,38 @@ class TestSegmentationLosses:
         a = jnp.ones((1, 8, 8))
         assert float(neg_iou_loss(a, a)) < 1e-5
         assert float(neg_iou_loss(a, 1 - a)) > 0.99
+
+
+class TestExtraKpFormats:
+    def test_registry_covers_reference_formats(self):
+        from poco_tpu.utils.kp_utils import JOINT_NAME_REGISTRY, convert_kps
+
+        for fmt in (
+            "spin", "h36m", "coco", "mpii", "common", "3dpw", "smpl",
+            "mpii3d", "mpii3d_test", "posetrack", "pennaction",
+        ):
+            assert fmt in JOINT_NAME_REGISTRY
+        kp = np.random.RandomState(0).rand(2, 28, 3)
+        out = convert_kps(kp, "mpii3d", "spin")
+        assert out.shape == (2, 49, 3)
+
+    def test_posetrack_to_common(self):
+        from poco_tpu.utils.kp_utils import convert_kps
+
+        kp = np.ones((1, 17, 3))
+        out = convert_kps(kp, "posetrack", "common")
+        assert out.shape == (1, 14, 3)
+        assert out.sum() > 0
+
+
+class TestGetModelPath:
+    def test_best_and_fallback(self, tmp_path):
+        from poco_tpu.utils.checkpoint_convert import get_model_path
+
+        best = tmp_path / "best_model"
+        best.mkdir()
+        assert get_model_path(str(tmp_path), "best") == str(best)
+        # unknown kind -> newest checkpoint-like entry
+        (tmp_path / "epoch_3.ckpt").touch()
+        got = get_model_path(str(tmp_path), "latest")
+        assert got.endswith("epoch_3.ckpt") or got == str(best)
