@@ -16,6 +16,7 @@ from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch(0.1)
 
@@ -121,6 +122,18 @@ def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return jnp.repeat(x, factor, axis=2)
 
 
+def _resize_weights(out_n: int, in_n: int) -> np.ndarray:
+    """(out_n, in_n) align-corners bilinear weight matrix (static)."""
+    if out_n == 1 or in_n == 1:
+        w = np.zeros((out_n, in_n), np.float32)
+        w[:, 0] = 1.0
+        return w
+    coords = np.arange(out_n, dtype=np.float64) * (in_n - 1) / (out_n - 1)
+    idx = np.arange(in_n, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(coords[:, None] - idx[None, :]))
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def resize_bilinear_align_corners(
     x: jnp.ndarray, out_h: int, out_w: int
 ) -> jnp.ndarray:
@@ -128,27 +141,16 @@ def resize_bilinear_align_corners(
 
     Matches torch `F.interpolate(mode='bilinear', align_corners=True)`:
     output pixel i samples input coordinate i * (in-1) / (out-1).
-    (jax.image.resize implements only the half-pixel convention, which is
-    align_corners=False — so this is hand-rolled with static gathers.)
+    TPU-first formulation: the resample is separable, so it is expressed
+    as two small static-weight contractions that XLA maps onto the MXU
+    (jax.image.resize only implements the half-pixel convention, and a
+    gather formulation compiles/runs poorly on TPU).
     """
     _, in_h, in_w, _ = x.shape
-
-    def coords(out_n: int, in_n: int) -> jnp.ndarray:
-        if out_n == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(out_n, dtype=jnp.float32) * (in_n - 1) / (out_n - 1)
-
-    ys, xs = coords(out_h, in_h), coords(out_w, in_w)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, in_h - 1)
-    y1 = jnp.clip(y0 + 1, 0, in_h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, in_w - 1)
-    x1 = jnp.clip(x0 + 1, 0, in_w - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
-
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    ry = jnp.asarray(_resize_weights(out_h, in_h), x.dtype)
+    rx = jnp.asarray(_resize_weights(out_w, in_w), x.dtype)
+    tmp = jnp.einsum("oy,byxc->boxc", ry, x)
+    return jnp.einsum("px,boxc->bopc", rx, tmp)
 
 
 class ResLayer(nn.Module):
