@@ -35,14 +35,20 @@ def main():
     from poco_tpu.models.poco import build_poco_cliff, init_poco
     from poco_tpu.smpl.assets import synthetic_smpl_model
 
-    from poco_tpu.models.poco import POCO, PocoConfig
+    from poco_tpu.config import model_config_from_hparams, update_hparams
+    from poco_tpu.models.poco import POCO
 
     dtype = (
         jnp.bfloat16
         if os.environ.get("POCO_BENCH_BF16", "1") == "1"
         else jnp.float32
     )
-    model = POCO(cfg=PocoConfig(), dtype=dtype)
+    # POCO_BENCH_MODEL=pare benches the second config (POCO-PARE).
+    which = os.environ.get("POCO_BENCH_MODEL", "cliff")
+    cfg_file = f"configs/poco_{which}.yaml"
+    model = POCO(
+        cfg=model_config_from_hparams(update_hparams(cfg_file)), dtype=dtype
+    )
     smpl = synthetic_smpl_model(num_verts=6890)
     variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
 
@@ -96,7 +102,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "poco_cliff_crops_per_sec_per_chip",
+                "metric": f"poco_{which}_crops_per_sec_per_chip",
                 "value": round(per_chip, 2),
                 "unit": "crops/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),

@@ -95,6 +95,7 @@ def run_folder(args, tester):
         sideview=args.sideview,
         save_obj=args.save_obj,
         uncert_color=not args.no_uncert_color,
+        draw_keypoints=args.draw_keypoints,
     )
     n = sum(len(r.get("bboxes", [])) for r in results)
     print(f"poco FPS: {n / max(time.time() - t0, 1e-9):.2f} ({n} crops)")

@@ -42,6 +42,22 @@ from .tracker import Detector, full_frame_detector, run_tracking
 from ..data.inference import InferenceDataset, images_in_folder
 
 
+def draw_keypoints_2d(
+    frame: np.ndarray, joints2d: np.ndarray, radius: int = 3
+) -> np.ndarray:
+    """Overlay projected 2D joints (reference --draw_keypoints flag,
+    demo.py:279-281)."""
+    out = np.ascontiguousarray(frame)
+    for person in np.atleast_3d(joints2d):
+        for x, y in person[:, :2]:
+            if np.isfinite(x) and np.isfinite(y):
+                cv2.circle(
+                    out, (int(x), int(y)), radius, (0, 255, 0), -1,
+                    cv2.LINE_AA,
+                )
+    return out
+
+
 class PocoTester:
     """Folder/video demo driver.
 
@@ -149,6 +165,7 @@ class PocoTester:
         sideview: bool = False,
         save_obj: bool = False,
         uncert_color: bool = True,
+        draw_keypoints: bool = False,
     ) -> list[dict[str, Any]]:
         """Folder demo (reference tester.py:153-360).
 
@@ -270,6 +287,10 @@ class PocoTester:
                             result["verts"][pi],
                             np.asarray(self.smpl.faces),
                         )
+                if draw_keypoints:
+                    frame = draw_keypoints_2d(
+                        frame, result["smpl_joints2d"]
+                    )
                 out_path = osp.join(output_folder, osp.basename(img_path))
                 cv2.imwrite(out_path, frame[:, :, ::-1])
                 if sideview and n > 0:

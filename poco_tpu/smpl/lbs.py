@@ -191,6 +191,7 @@ def smpl_forward(
     params: SmplParams,
     betas: jnp.ndarray,
     pose_rotmats: jnp.ndarray,
+    use_pallas: bool | None = None,
 ) -> SmplOutput:
     """SMPL forward producing the 54-joint superset.
 
@@ -199,7 +200,11 @@ def smpl_forward(
         [24:45)  vertex-selected keypoints (face/feet/hand tips)
         [45:54)  extra regressed joints (J_regressor_extra)
     """
-    verts, joints_lbs = lbs(betas, pose_rotmats, params)
+    if use_pallas is None:
+        import os
+
+        use_pallas = bool(os.environ.get("POCO_TPU_PALLAS_LBS"))
+    verts, joints_lbs = lbs(betas, pose_rotmats, params, use_pallas=use_pallas)
     vertex_joints = verts[:, np.asarray(params.vertex_joint_ids)]
     extra_joints = vertices2joints(params.j_regressor_extra, verts)
     joints = jnp.concatenate([joints_lbs, vertex_joints, extra_joints], axis=1)
