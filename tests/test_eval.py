@@ -194,3 +194,63 @@ class TestEvalRunner:
         np.testing.assert_allclose(
             report["test_seq"]["mpjpe"], result.mpjpe_mm[:4].mean(), rtol=1e-6
         )
+
+
+class TestDistributedConsistency:
+    def test_eval_identical_on_1_vs_8_devices(self, tiny_eval_dataset=None):
+        """SURVEY §4 test pyramid item 4: the same eval on 1 chip and
+        sharded across 8 chips must produce identical metrics."""
+        import jax
+
+        from poco_tpu.eval.runner import run_eval
+        from poco_tpu.models.poco import build_poco_cliff, init_poco
+        from poco_tpu.parallel.mesh import make_mesh
+        from poco_tpu.smpl.assets import synthetic_smpl_model
+
+        # reuse the class-scoped fixture machinery manually
+        import cv2
+        import tempfile, os
+
+        tmp = tempfile.mkdtemp()
+        rng = np.random.RandomState(0)
+        n = 8
+        names = []
+        for i in range(n):
+            img = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+            name = f"img_{i}.jpg"
+            cv2.imwrite(os.path.join(tmp, name), img)
+            names.append(name)
+        np.savez(
+            os.path.join(tmp, "ann.npz"),
+            imgname=np.array(names),
+            center=np.tile([64.0, 48.0], (n, 1)),
+            scale=np.full(n, 0.4),
+            pose=rng.uniform(-0.2, 0.2, (n, 72)),
+            shape=rng.uniform(-0.5, 0.5, (n, 10)),
+            gender=np.array(["m", "f"] * 4),
+            has_smpl=np.ones(n),
+        )
+        from poco_tpu.data.dataset import PocoDataset
+
+        ds = PocoDataset(
+            os.path.join(tmp, "ann.npz"), img_dir=tmp, is_train=False
+        )
+
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+
+        res1 = run_eval(
+            model, variables, ds, smpl_neutral=smpl, batch_size=8,
+            mesh=make_mesh(n_devices=1),
+        )
+        res8 = run_eval(
+            model, variables, ds, smpl_neutral=smpl, batch_size=8,
+            mesh=make_mesh(n_devices=8),
+        )
+        np.testing.assert_allclose(
+            res1.mpjpe_mm, res8.mpjpe_mm, rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            res1.pa_mpjpe_mm, res8.pa_mpjpe_mm, rtol=1e-4, atol=1e-3
+        )
