@@ -263,3 +263,37 @@ class TestVideoIO:
         )
         assert n == 5
         assert shape[:2] == (64, 80)
+
+
+class TestPartLabels:
+    def test_labels_render_and_range(self):
+        from poco_tpu.viz.part_labels import generate_part_labels
+
+        smpl = synthetic_smpl_model(num_verts=128)
+        verts = np.asarray(smpl.v_template)[None] * 0.5
+        cams = np.array([[1.0, 0.0, 0.0]])
+        labels = generate_part_labels(
+            verts, np.asarray(smpl.faces), cams,
+            np.asarray(smpl.lbs_weights), out_res=56,
+        )
+        assert labels.shape == (1, 56, 56)
+        assert labels.max() <= 24 and labels.min() == 0
+        assert (labels > 0).sum() > 50  # body covers some pixels
+
+    def test_labels_feed_segmentation_loss(self):
+        import jax.numpy as jnp
+
+        from poco_tpu.losses.segmentation import part_segmentation_loss
+        from poco_tpu.viz.part_labels import generate_part_labels
+
+        smpl = synthetic_smpl_model(num_verts=128)
+        verts = np.asarray(smpl.v_template)[None] * 0.5
+        labels = generate_part_labels(
+            verts, np.asarray(smpl.faces), np.array([[1.0, 0, 0]]),
+            np.asarray(smpl.lbs_weights), out_res=56,
+        )
+        logits = jnp.asarray(
+            np.random.RandomState(0).randn(1, 25, 56, 56), jnp.float32
+        )
+        loss = part_segmentation_loss(logits, jnp.asarray(labels))
+        assert np.isfinite(float(loss))
