@@ -83,11 +83,17 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 residual block (expansion 4)."""
+    """1x1 -> 3x3 -> 1x1 residual block (expansion 4).
+
+    `groups`/`base_width` follow the torchvision convention so the same
+    block expresses resnext and wide-resnet variants.
+    """
 
     filters: int
     stride: int = 1
     has_downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     expansion = 4
@@ -95,10 +101,16 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         residual = x
-        y = conv(self.filters, 1, 1, padding=0, name="conv1", dtype=self.dtype)(x)
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+        y = conv(width, 1, 1, padding=0, name="conv1", dtype=self.dtype)(x)
         y = batch_norm(train, name="bn1", dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = conv(self.filters, 3, self.stride, name="conv2", dtype=self.dtype)(y)
+        mid = nn.Conv(
+            width, (3, 3), (self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False,
+            feature_group_count=self.groups, name="conv2", dtype=self.dtype,
+        )
+        y = mid(y)
         y = batch_norm(train, name="bn2", dtype=self.dtype)(y)
         y = nn.relu(y)
         y = conv(
@@ -164,11 +176,18 @@ class ResLayer(nn.Module):
     num_blocks: int
     stride: int = 1
     in_channels: int | None = None
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         expansion = self.block.expansion
+        extra = (
+            {"groups": self.groups, "base_width": self.base_width}
+            if self.block is Bottleneck and (self.groups != 1 or self.base_width != 64)
+            else {}
+        )
         needs_ds = self.stride != 1 or x.shape[-1] != self.filters * expansion
         y = self.block(
             self.filters,
@@ -176,7 +195,10 @@ class ResLayer(nn.Module):
             has_downsample=needs_ds,
             name="0",
             dtype=self.dtype,
+            **extra,
         )(x, train)
         for i in range(1, self.num_blocks):
-            y = self.block(self.filters, name=str(i), dtype=self.dtype)(y, train)
+            y = self.block(
+                self.filters, name=str(i), dtype=self.dtype, **extra
+            )(y, train)
         return y

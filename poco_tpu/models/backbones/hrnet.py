@@ -281,5 +281,11 @@ def hrnet_w48_cls(dtype: Any = jnp.float32) -> HRNet:
     return HRNet(variant="cls", width=48, dtype=dtype)
 
 
+def hrnet_w48(dtype: Any = jnp.float32) -> HRNet:
+    """Pose-variant HRNet-w48: (B, H/4, W/4, 720) concat feature map
+    (reference hrnet.py:620-627, interpolation merge)."""
+    return HRNet(variant="pose", width=48, use_conv=False, dtype=dtype)
+
+
 def hrnet_w64(dtype: Any = jnp.float32) -> HRNet:
     return HRNet(variant="pose", width=64, use_conv=False, dtype=dtype)

@@ -21,6 +21,8 @@ class ResNet(nn.Module):
 
     block: Any
     layers: Sequence[int]
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,7 +41,8 @@ class ResNet(nn.Module):
         for i in range(4):
             y = ResLayer(
                 self.block, filters[i], self.layers[i], stride=strides[i],
-                name=f"layer{i + 1}", dtype=self.dtype,
+                name=f"layer{i + 1}", groups=self.groups,
+                base_width=self.base_width, dtype=self.dtype,
             )(y, train)
         return y
 
@@ -64,6 +67,22 @@ def resnet152(dtype: Any = jnp.float32) -> ResNet:
     return ResNet(Bottleneck, (3, 8, 36, 3), dtype=dtype)
 
 
+def resnext50_32x4d(dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 6, 3), groups=32, base_width=4, dtype=dtype)
+
+
+def resnext101_32x8d(dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 23, 3), groups=32, base_width=8, dtype=dtype)
+
+
+def wide_resnet50_2(dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 6, 3), base_width=128, dtype=dtype)
+
+
+def wide_resnet101_2(dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 23, 3), base_width=128, dtype=dtype)
+
+
 # Channel/downsample registry (reference: pocolib/models/backbone/utils.py:2-18).
 BACKBONE_INFO = {
     "resnet18": {"n_output_channels": 512, "downsample_rate": 4},
@@ -71,9 +90,14 @@ BACKBONE_INFO = {
     "resnet50": {"n_output_channels": 2048, "downsample_rate": 4},
     "resnet101": {"n_output_channels": 2048, "downsample_rate": 4},
     "resnet152": {"n_output_channels": 2048, "downsample_rate": 4},
+    "resnext50_32x4d": {"n_output_channels": 2048, "downsample_rate": 4},
+    "resnext101_32x8d": {"n_output_channels": 2048, "downsample_rate": 4},
+    "wide_resnet50_2": {"n_output_channels": 2048, "downsample_rate": 4},
+    "wide_resnet101_2": {"n_output_channels": 2048, "downsample_rate": 4},
     "hrnet_w32": {"n_output_channels": 480, "downsample_rate": 4},
+    "hrnet_w48": {"n_output_channels": 720, "downsample_rate": 4},
     "hrnet_w48_cls": {"n_output_channels": 2048, "downsample_rate": 4},
-    "hrnet_w64": {"n_output_channels": 2048, "downsample_rate": 4},
+    "hrnet_w64": {"n_output_channels": 960, "downsample_rate": 4},
     "tiny": {"n_output_channels": 128, "downsample_rate": 4},
     "tiny_pose": {"n_output_channels": 32, "downsample_rate": 4},
 }

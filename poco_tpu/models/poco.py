@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..smpl.lbs import SmplParams
 from ..smpl.model import smpl_head, smplcam_head
-from .backbones.hrnet import hrnet_w32, hrnet_w48_cls, hrnet_w64
+from .backbones.hrnet import hrnet_w32, hrnet_w48, hrnet_w48_cls, hrnet_w64
 from .backbones.tiny import tiny_cls, tiny_pose
 from .backbones.resnet import (
     get_backbone_info,
@@ -42,6 +42,10 @@ from .backbones.resnet import (
     resnet50,
     resnet101,
     resnet152,
+    resnext50_32x4d,
+    resnext101_32x8d,
+    wide_resnet50_2,
+    wide_resnet101_2,
 )
 from .heads.cliff import CliffHead
 from .heads.flow import FlowHead
@@ -54,7 +58,12 @@ BACKBONES = {
     "resnet50": resnet50,
     "resnet101": resnet101,
     "resnet152": resnet152,
+    "resnext50_32x4d": resnext50_32x4d,
+    "resnext101_32x8d": resnext101_32x8d,
+    "wide_resnet50_2": wide_resnet50_2,
+    "wide_resnet101_2": wide_resnet101_2,
     "hrnet_w32": hrnet_w32,
+    "hrnet_w48": hrnet_w48,
     "hrnet_w48_cls": hrnet_w48_cls,
     "hrnet_w64": hrnet_w64,
     "tiny": tiny_cls,

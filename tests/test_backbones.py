@@ -101,3 +101,33 @@ class TestBackboneShapes:
         m = tiny_pose()
         v = m.init(jax.random.PRNGKey(0), x)
         assert m.apply(v, x).shape == (2, 56, 56, 32)
+
+
+class TestResnextVariants:
+    def test_resnext_grouped_conv_shapes(self):
+        from poco_tpu.models.backbones.resnet import resnext50_32x4d
+
+        model = resnext50_32x4d()
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+        out = model.apply(variables, x)
+        assert out.shape == (1, 2, 2, 2048)
+        # grouped conv2 kernel: input channel dim divided by groups
+        k = variables["params"]["layer1"]["0"]["conv2"]["kernel"]
+        assert k.shape == (3, 3, 128 // 32, 128)
+
+    def test_wide_resnet_width(self):
+        from poco_tpu.models.backbones.resnet import wide_resnet50_2
+
+        model = wide_resnet50_2()
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+        k = variables["params"]["layer1"]["0"]["conv2"]["kernel"]
+        assert k.shape == (3, 3, 128, 128)
+
+    def test_registry_matches_reference(self):
+        from poco_tpu.models.backbones.resnet import BACKBONE_INFO
+
+        assert BACKBONE_INFO["hrnet_w64"]["n_output_channels"] == 960
+        assert BACKBONE_INFO["hrnet_w48"]["n_output_channels"] == 720
+        assert len(BACKBONE_INFO) >= 13
