@@ -168,6 +168,13 @@ class PocoDataset:
                 return native_loader.decode_jpeg(path).astype(np.float32)
         img = cv2.imread(path)
         if img is None:
+            # Transient-FS retry (reference base_dataset.py:276-283 sleeps
+            # 500-1000s for NFS hiccups; bounded here).
+            import time
+
+            time.sleep(self.rng.uniform(0.5, 1.0))
+            img = cv2.imread(path)
+        if img is None:
             raise FileNotFoundError(path)
         return img[:, :, ::-1].astype(np.float32)
 

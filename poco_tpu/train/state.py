@@ -122,3 +122,30 @@ def create_train_state(
         tx=tx,
         apply_fn=model.apply,
     )
+
+
+def count_params(tree) -> dict[str, int]:
+    """Per-module and total parameter counts (reference trainer.py:186-190)."""
+    import numpy as np
+
+    counts: dict[str, int] = {}
+    total = 0
+    for mod, sub in (tree.items() if isinstance(tree, dict) else []):
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(sub))
+        counts[mod] = n
+        total += n
+    counts["total"] = total
+    return counts
+
+
+def check_finite(tree, where: str = "") -> None:
+    """Raise if any leaf holds NaN/Inf (reference NaN probes,
+    pare_head.py:803-807 / losses.py:353-354). Host-side debug helper —
+    call on fetched metrics, not inside jit."""
+    import numpy as np
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(leaf)
+        if not np.all(np.isfinite(arr)):
+            name = "/".join(str(p) for p in path)
+            raise FloatingPointError(f"non-finite values in {where}{name}")

@@ -108,6 +108,16 @@ class Trainer:
         )
         self.rng, init_rng = jax.random.split(rng)
         variables = init_poco(self.model, init_rng, smpl)
+
+        # Warm starts (reference TRAINING.PRETRAINED per-submodule torch
+        # checkpoint, poco.py:131-154 / PRETRAINED_LIT full checkpoint,
+        # train.py:46-49): torch .pt files are converted, orbax dirs are
+        # restored; shape mismatches are skipped tolerantly.
+        pretrained = hparams.TRAINING.get("PRETRAINED") or hparams.TRAINING.get(
+            "PRETRAINED_LIT"
+        )
+        if pretrained:
+            variables = self._load_pretrained(variables, pretrained)
         tx = self._make_tx(frozen=tuple(self.freeze_schedule.get(0, ())))
         self.state = create_train_state(self.model, variables, tx)
         self.train_step = make_train_step(self.model, self.loss_cfg)
@@ -122,9 +132,43 @@ class Trainer:
         self.best_corr = -float("inf")
         self.epoch = 0
         self.val_history: list[dict] = []
-        self._metrics_file = open(
-            os.path.join(self.logdir, "metrics.jsonl"), "a"
+        from .state import count_params
+
+        self._log({"event": "params", **count_params(self.state.params)})
+
+    def _load_pretrained(self, variables: dict, path: str) -> dict:
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            template = {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats"),
+                "buffers": variables.get("buffers"),
+                "step": jnp.zeros((), jnp.int32),
+            }
+            restored = ckptr.restore(os.path.abspath(path), template)
+            out = dict(variables)
+            for key in ("params", "batch_stats", "buffers"):
+                if restored.get(key) is not None:
+                    out[key] = restored[key]
+            self._log({"event": "warm_start", "path": path, "kind": "orbax"})
+            return out
+        from ..utils.checkpoint_convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+            merge_converted,
         )
+
+        sd = load_torch_checkpoint(path)
+        converted = convert_state_dict(
+            sd, head_type=self.model.cfg.head_name
+        )
+        merged, stats = merge_converted(variables, converted)
+        self._log(
+            {"event": "warm_start", "path": path, "kind": "torch", **stats}
+        )
+        return merged
 
     # ------------------------------------------------------------------
     def _make_tx(self, frozen: tuple[str, ...]):
@@ -149,6 +193,10 @@ class Trainer:
 
     def _log(self, record: dict) -> None:
         record["time"] = time.time()
+        if not hasattr(self, "_metrics_file"):
+            self._metrics_file = open(
+                os.path.join(self.logdir, "metrics.jsonl"), "a"
+            )
         self._metrics_file.write(json.dumps(record) + "\n")
         self._metrics_file.flush()
 

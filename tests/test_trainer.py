@@ -273,3 +273,48 @@ class TestUncertStatsTracker:
         payload = json.load(open(path))
         assert "histograms" in payload
         assert sum(payload["histograms"]["pelvis"]) == 24
+
+
+class TestWarmStart:
+    def test_orbax_warm_start(self, tmp_path):
+        """TRAINING.PRETRAINED warm start loads a prior checkpoint."""
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path / "run1")
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.DATASET.BATCH_SIZE = 8
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        ds = _ArrayDataset(n=8)
+        t1 = Trainer(h, smpl, train_dataset_fn=lambda e: ds)
+        t1.save_checkpoint("best_model")
+
+        h2 = h.clone()
+        h2.LOG_DIR = str(tmp_path / "run2")
+        h2.TRAINING.PRETRAINED = os.path.join(
+            str(tmp_path / "run1"), "best_model"
+        )
+        t2 = Trainer(h2, smpl, train_dataset_fn=lambda e: ds)
+        a = jax.tree.leaves(t1.state.params)
+        b = jax.tree.leaves(t2.state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_param_count_and_finite_check(self):
+        from poco_tpu.train.state import check_finite, count_params
+
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        counts = count_params(variables["params"])
+        assert counts["total"] > 0
+        assert "backbone_net" in counts and "flow_head" in counts
+        check_finite(variables["params"])  # no raise
+        bad = {"x": np.array([1.0, np.nan])}
+        with pytest.raises(FloatingPointError):
+            check_finite(bad)
