@@ -212,6 +212,17 @@ class Trainer:
         }
         if cond_mask is not None:
             batch["gt_pose_cond_mask"] = cond_mask
+
+        # The batch axis must divide the mesh: pad by cycling real rows
+        # (keeps loss statistics unchanged up to duplicate weighting).
+        n = len(next(iter(batch.values())))
+        n_dev = int(self.mesh.devices.size)
+        pad = (-n) % n_dev
+        if pad:
+            batch = {
+                k: np.concatenate([v, v[:pad]]) for k, v in batch.items()
+            }
+
         sharded = shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
         )

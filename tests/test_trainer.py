@@ -318,3 +318,25 @@ class TestWarmStart:
         bad = {"x": np.array([1.0, np.nan])}
         with pytest.raises(FloatingPointError):
             check_finite(bad)
+
+
+class TestUnevenBatchSharding:
+    def test_batch_smaller_than_mesh_pads(self, tmp_path):
+        """batch_size 4 on an 8-device mesh: cyclic padding keeps SPMD valid."""
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.DATASET.BATCH_SIZE = 4  # < 8 devices
+        h.TRAINING.LOG_SAVE_INTERVAL = 1
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        ds = _ArrayDataset(n=8)
+        trainer = Trainer(h, smpl, train_dataset_fn=lambda e: ds)
+        metrics = trainer.train_epoch(0)
+        assert np.isfinite(metrics["loss/total_loss"])
