@@ -225,3 +225,55 @@ class TestGetModelPath:
         (tmp_path / "epoch_3.ckpt").touch()
         got = get_model_path(str(tmp_path), "latest")
         assert got.endswith("epoch_3.ckpt") or got == str(best)
+
+
+class TestToolsClis:
+    def test_compute_error_cli(self, tmp_path):
+        import joblib
+
+        payload = {
+            "imgname": ["downtown_bar_00/a.jpg", "courtyard_golf/b.jpg"],
+            "mpjpe": np.array([50.0, 70.0]),
+            "pampjpe": np.array([30.0, 40.0]),
+            "v2v": np.array([60.0, 80.0]),
+            "uncert": None,
+            "epoch": 0,
+        }
+        pkl = tmp_path / "evaluation_results_3dpw.pkl"
+        joblib.dump(payload, pkl)
+        out = tmp_path / "report.json"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "compute_error.py"),
+             "--result_file", str(pkl), "--out", str(out)],
+            capture_output=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-400:]
+        import json
+
+        report = json.load(open(out))
+        assert report["all"]["mpjpe"] == 60.0
+        assert report["test_seq"]["mpjpe"] == 50.0
+        assert report["occluded_seq"]["mpjpe"] == 70.0
+
+    def test_convert_checkpoint_cli(self, tmp_path):
+        """torch .pt -> orbax conversion via the CLI (tiny model)."""
+        import torch
+
+        # minimal state dict: just the cliff head decoders
+        sd = {
+            "head.fc1.weight": torch.randn(1024, 2048 + 3 + 144 + 13),
+            "head.fc1.bias": torch.randn(1024),
+        }
+        pt = tmp_path / "ckpt.pt"
+        torch.save(sd, pt)
+        out = tmp_path / "orbax_ckpt"
+        cfg = os.path.join(REPO, "configs", "tiny_smoke.yaml")
+        env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "convert_checkpoint.py"),
+             "--torch_ckpt", str(pt), "--cfg", cfg, "--out", str(out)],
+            capture_output=True, timeout=600, env=env, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-600:]
+        assert out.exists()
+        assert b"loaded" in r.stdout
