@@ -64,6 +64,31 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_smpl_params(smpl, mesh: Mesh):
+    """Shard the SMPL weights over the "model" axis (vertex dimension).
+
+    The body model is the one genuinely tensor-shardable component of
+    this workload: every LBS stage is an einsum over the vertex dimension
+    (V = 6890), so placing V on the "model" axis splits the blendshape /
+    skinning matmuls across chips and XLA inserts the gathers for the
+    few cross-shard reads (vertex keypoints, extra-joint regression).
+    With model axis size 1 this is a no-op (pure data parallelism, the
+    reference's only strategy — SURVEY §2.5).
+    """
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return smpl.replace(
+        v_template=put(smpl.v_template, P(MODEL_AXIS, None)),
+        shapedirs=put(smpl.shapedirs, P(MODEL_AXIS, None, None)),
+        posedirs=put(smpl.posedirs, P(None, MODEL_AXIS)),
+        j_regressor=put(smpl.j_regressor, P(None, MODEL_AXIS)),
+        lbs_weights=put(smpl.lbs_weights, P(MODEL_AXIS, None)),
+        j_regressor_extra=put(smpl.j_regressor_extra, P(None, MODEL_AXIS)),
+        faces=put(smpl.faces, P()),
+    )
+
+
 def pad_to_multiple(
     arr: np.ndarray, multiple: int, axis: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
