@@ -340,3 +340,45 @@ class TestUnevenBatchSharding:
         trainer = Trainer(h, smpl, train_dataset_fn=lambda e: ds)
         metrics = trainer.train_epoch(0)
         assert np.isfinite(metrics["loss/total_loss"])
+
+
+class TestSpmdEquivalence:
+    def test_train_step_identical_1_vs_8_devices(self):
+        """One SPMD program = global-batch semantics: params, loss and BN
+        running stats after a step are identical on 1 and 8 devices
+        (torch DDP needs SyncBN for this; XLA gives it for free)."""
+        from poco_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        batch = _train_batch(b=8)
+        rng = jax.random.PRNGKey(7)
+
+        results = []
+        for n_dev in (1, 8):
+            tx = make_optimizer(lr=1e-3)
+            state = create_train_state(model, variables, tx)
+            step = make_train_step(model, LossConfig(), donate=False)
+            mesh = make_mesh(n_devices=n_dev)
+            with mesh:
+                st = replicate_tree(state, mesh)
+                sm = replicate_tree(smpl, mesh)
+                sharded = shard_batch(dict(batch), mesh)
+                new_state, metrics = step(st, sharded, sm, rng)
+            results.append((new_state, float(metrics["loss/total_loss"])))
+
+        (s1, l1), (s8, l8) = results
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+        for a, b in zip(
+            jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
