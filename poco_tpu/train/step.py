@@ -92,6 +92,27 @@ def make_train_step(
         model_batch = dict(batch)
         model_batch["gt_pose_rotmat"] = gt["gt_pose_rotmat"]
 
+        # Optional render / part-segmentation supervision (reference
+        # trainer.py:251-275, broken as shipped — here produced by the
+        # differentiable soft rasterizer, ops/soft_raster.py).
+        if loss_cfg.use_smpl_render_loss or loss_cfg.use_smpl_segm_loss:
+            from ..ops.soft_raster import soft_part_probs, soft_silhouette
+
+            gt_cam = batch.get(
+                "gt_cam", jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]),
+                                   (gt["vertices"].shape[0], 1))
+            )
+            if loss_cfg.use_smpl_render_loss:
+                gt["gt_smpl_render"] = soft_silhouette(
+                    gt["vertices"], gt_cam
+                )
+                gt["gt_cam_render"] = gt_cam
+            if loss_cfg.use_smpl_segm_loss:
+                probs = soft_part_probs(
+                    gt["vertices"], gt_cam, smpl.lbs_weights
+                )
+                gt["gt_segm_mask"] = jnp.argmax(probs, axis=-1)
+
         def loss_fn_with_out(params):
             variables = {"params": params}
             if state.batch_stats is not None:
@@ -106,6 +127,13 @@ def make_train_step(
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
+            if loss_cfg.use_smpl_render_loss and "gt_smpl_render" in gt:
+                from ..ops.soft_raster import soft_silhouette
+
+                out = dict(out)
+                out["pred_smpl_render"] = soft_silhouette(
+                    out["smpl_vertices"], gt["gt_cam_render"]
+                )
             loss, loss_dict = poco_loss(out, gt, loss_cfg)
             return loss, (loss_dict, mutated.get("batch_stats"), out)
 

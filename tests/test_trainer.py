@@ -385,3 +385,26 @@ class TestSpmdEquivalence:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
+
+
+class TestRenderSegmLosses:
+    def test_render_and_segm_losses_active_in_step(self):
+        """use_smpl_render_loss / use_smpl_segm_loss flags work end to end
+        (PARE head produces pred_segm_mask, soft rasterizer the rest)."""
+        from poco_tpu.models.poco import build_poco_pare
+
+        model = build_poco_pare(backbone="tiny_pose-pare")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        cfg = LossConfig(
+            use_smpl_render_loss=True, use_smpl_segm_loss=True
+        )
+        tx = make_optimizer(lr=1e-4)
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, cfg, donate=False)
+        batch = _train_batch()
+        new_state, metrics = step(state, batch, smpl, jax.random.PRNGKey(1))
+        assert "loss/loss_smpl_render" in metrics
+        assert "loss/loss_smpl_segm" in metrics
+        assert np.isfinite(float(metrics["loss/loss_smpl_render"]))
+        assert np.isfinite(float(metrics["loss/loss_smpl_segm"]))
