@@ -27,7 +27,6 @@ import cv2
 import numpy as np
 
 from ..constants import IMG_RES
-from ..ops.preprocess import calculate_bbox_info as _bbox_info_jnp
 from .transforms import (
     AugmentParams,
     convert_crop_coords_to_orig_img,

@@ -26,7 +26,7 @@ Batch dict keys consumed (all device arrays):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -190,10 +190,7 @@ class POCO(nn.Module):
                 img_res=cfg.img_res,
             )
         else:
-            if cfg.head_name == "pare":
-                head_out = self.head(features, train=train)
-            else:
-                head_out = self.head(features, train=train)
+            head_out = self.head(features, train=train)
             s = smpl_head(
                 smpl,
                 rotmat=head_out["pred_pose"],

@@ -15,12 +15,10 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 class TrainState(struct.PyTreeNode):

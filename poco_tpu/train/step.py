@@ -15,9 +15,6 @@ Replaces the reference's LitModule.training_step / validation_step
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
