@@ -60,9 +60,17 @@ def run_video(args, tester):
         args.vid_file, osp.join(out_dir, "frames"), return_info=True
     )
     t0 = time.time()
-    tracks = tester.run_tracking(
-        img_folder, cache_file=osp.join(out_dir, "tracking_results.pkl")
-    )
+    if args.tracking_method == "pose":
+        from poco_tpu.utils.pose_tracker import run_posetracker
+
+        tracks = run_posetracker(
+            img_folder, staf_folder=args.staf_dir,
+            posetrack_output_folder=osp.join(out_dir, "posetrack"),
+        )
+    else:
+        tracks = tester.run_tracking(
+            img_folder, cache_file=osp.join(out_dir, "tracking_results.pkl")
+        )
     results = tester.run_on_video(
         img_folder, tracks=tracks, smooth=args.smooth,
         min_cutoff=args.min_cutoff, beta=args.beta,
@@ -132,6 +140,10 @@ def main():
                         choices=["full_frame", "hog"])
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--tracker_batch_size", type=int, default=12)
+    parser.add_argument("--tracking_method", default="bbox",
+                        choices=["bbox", "pose"])
+    parser.add_argument("--staf_dir", default=None,
+                        help="STAF/OpenPose build dir for pose tracking")
     # smoothing
     parser.add_argument("--smooth", action="store_true")
     parser.add_argument("--min_cutoff", type=float, default=0.004)

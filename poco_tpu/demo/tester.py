@@ -346,8 +346,14 @@ class PocoTester:
 
         results: dict[int, dict] = {}
         for person_id, track in tracks.items():
+            # Bbox tracklets (IoU tracker) or keypoint tracklets
+            # (pose tracking, reference tester.py:369-377): derive and
+            # smooth bboxes from joints2d when no bbox track exists.
             dataset = InferenceDataset(
-                image_folder, frames=track["frames"], bboxes=track["bbox"]
+                image_folder,
+                frames=track["frames"],
+                bboxes=track.get("bbox"),
+                joints2d=track.get("joints2d"),
             )
             items = [dataset[i] for i in range(len(dataset))]
             if not items:

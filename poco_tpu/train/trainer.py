@@ -96,7 +96,16 @@ class Trainer:
         self.logdir = hparams.LOG_DIR
         os.makedirs(self.logdir, exist_ok=True)
 
-        self.model = POCO(cfg=model_config_from_hparams(hparams))
+        import jax.numpy as _jnp
+
+        compute_dtype = (
+            _jnp.bfloat16
+            if int(hparams.TRAINING.get("PRECISION", 32)) == 16
+            else _jnp.float32
+        )
+        self.model = POCO(
+            cfg=model_config_from_hparams(hparams), dtype=compute_dtype
+        )
         self.loss_cfg = loss_config_from_hparams(hparams)
         self.module_lr = parse_module_lr(hparams.OPTIMIZER.MODULE_LR)
         self.freeze_schedule = parse_freeze_params(

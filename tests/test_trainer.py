@@ -408,3 +408,29 @@ class TestRenderSegmLosses:
         assert "loss/loss_smpl_segm" in metrics
         assert np.isfinite(float(metrics["loss/loss_smpl_render"]))
         assert np.isfinite(float(metrics["loss/loss_smpl_segm"]))
+
+
+class TestBf16Precision:
+    def test_precision_16_trains(self, tmp_path):
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.DATASET.BATCH_SIZE = 8
+        h.TRAINING.PRECISION = 16
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(
+            h, smpl, train_dataset_fn=lambda e: _ArrayDataset(n=8)
+        )
+        assert trainer.model.dtype == jnp.bfloat16
+        metrics = trainer.train_epoch(0)
+        assert np.isfinite(metrics["loss/total_loss"])
+        # params remain fp32 (mixed precision: bf16 compute, fp32 state)
+        leaf = jax.tree.leaves(trainer.state.params)[0]
+        assert leaf.dtype == jnp.float32
