@@ -73,8 +73,27 @@ def main():
             json.dump({"summary": summary, "splits": report}, f, indent=1)
 
 
-def load_checkpoint_into(variables, ckpt_path: str, model_cfg):
-    """Load an orbax dir or convert a torch checkpoint file."""
+def load_checkpoint_into(variables, ckpt_path: str, model_cfg,
+                         inf_model: str = "best"):
+    """Load an orbax dir or convert a torch checkpoint file.
+
+    A run logdir is also accepted: the checkpoint inside it is resolved
+    per the reference's --inf_model contract (best / best_mpjpe_var /
+    latest; train_utils.py:126-136).
+    """
+    if os.path.isdir(ckpt_path) and not any(
+        os.path.exists(os.path.join(ckpt_path, f))
+        for f in ("_METADATA", "manifest.ocdbt", "d")
+    ):
+        from poco_tpu.utils.checkpoint_convert import get_model_path
+
+        try:
+            resolved = get_model_path(ckpt_path, inf_model)
+            if resolved != ckpt_path:
+                print(f"resolved checkpoint: {resolved}")
+                ckpt_path = resolved
+        except FileNotFoundError:
+            pass
     if os.path.isdir(ckpt_path):
         import orbax.checkpoint as ocp
 
