@@ -40,7 +40,9 @@ def build_tester(args):
         model_cfg = model_config_from_hparams(hparams)
         model = POCO(cfg=model_cfg)
         variables = init_poco(model, jax.random.PRNGKey(0), smpl)
-        variables = load_checkpoint_into(variables, args.ckpt, model_cfg)
+        variables = load_checkpoint_into(
+            variables, args.ckpt, model_cfg, inf_model=args.inf_model
+        )
 
     detector = (
         hog_person_detector if args.detector == "hog" else full_frame_detector
@@ -128,6 +130,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="configs/poco_cliff.yaml")
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--inf_model", default="best",
+                        help="checkpoint selection inside a logdir "
+                             "(best / best_mpjpe_var / latest)")
     parser.add_argument("--smpl_dir", default=None)
     parser.add_argument(
         "--mode", default="folder",
