@@ -141,6 +141,19 @@ class Trainer:
         self.best_corr = -float("inf")
         self.epoch = 0
         self.val_history: list[dict] = []
+        self._global_step = 0
+
+        # Optional TensorBoard logging (reference PREF_LOGGER
+        # "tensorboard", train.py:63-77) alongside the JSONL stream.
+        self._tb = None
+        if "tensorboard" in str(hparams.get("PREF_LOGGER", "")):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=self.logdir)
+            except Exception:
+                self._tb = None
+
         from .state import count_params
 
         self._log({"event": "params", **count_params(self.state.params)})
@@ -208,6 +221,11 @@ class Trainer:
             )
         self._metrics_file.write(json.dumps(record) + "\n")
         self._metrics_file.flush()
+        if getattr(self, "_tb", None) is not None:
+            step = getattr(self, "_global_step", 0)
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k not in ("time", "epoch", "step"):
+                    self._tb.add_scalar(k, v, step)
 
     def _device_batch(self, host_batch: dict) -> dict:
         p = self.hparams.POCO
@@ -271,6 +289,7 @@ class Trainer:
                     state, batch, smpl, step_rng
                 )
                 n_crops += host_batch["img"].shape[0]
+                self._global_step += 1
                 if step_i % self.hparams.TRAINING.LOG_SAVE_INTERVAL == 0:
                     var_pose = metrics.pop("_var_pose", None)
                     viz = metrics.pop("_viz", None)

@@ -434,3 +434,31 @@ class TestBf16Precision:
         # params remain fp32 (mixed precision: bf16 compute, fp32 state)
         leaf = jax.tree.leaves(trainer.state.params)[0]
         assert leaf.dtype == jnp.float32
+
+
+class TestTensorboardLogging:
+    def test_tb_events_written(self, tmp_path):
+        pytest.importorskip("torch.utils.tensorboard")
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.PREF_LOGGER = "tensorboard"
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.DATASET.BATCH_SIZE = 8
+        h.TRAINING.LOG_SAVE_INTERVAL = 1
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(
+            h, smpl, train_dataset_fn=lambda e: _ArrayDataset(n=8)
+        )
+        trainer.train_epoch(0)
+        events = [
+            f for f in os.listdir(h.LOG_DIR)
+            if f.startswith("events.out.tfevents")
+        ]
+        assert events, os.listdir(h.LOG_DIR)
