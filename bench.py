@@ -86,15 +86,19 @@ def main():
     chained_run(WARMUP)  # compile + warm
 
     # Subtract the fixed dispatch/fetch overhead (1-step chain) from the
-    # long chain: t_iter = (t_N - t_1) / (N - 1).
-    t0 = time.perf_counter()
-    chained_run(1)
-    dt1 = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    chained_run(ITERS)
-    dt_n = time.perf_counter() - t0
-    t_iter = max(dt_n - dt1, 1e-6) / max(ITERS - 1, 1)
+    # long chain: t_iter = (t_N - t_1) / (N - 1). Take the best of three
+    # measurements — the device is reached through a shared tunnel and a
+    # single window can be polluted by other tenants.
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chained_run(1)
+        dt1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chained_run(ITERS)
+        dt_n = time.perf_counter() - t0
+        samples.append(max(dt_n - dt1, 1e-6) / max(ITERS - 1, 1))
+    t_iter = min(samples)
 
     n_chips = jax.device_count()
     crops_per_sec = BATCH / t_iter

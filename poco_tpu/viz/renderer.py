@@ -18,6 +18,27 @@ from __future__ import annotations
 import numpy as np
 
 
+# Mesh color registry (reference MESH_COLOR config + the demo color
+# table used by the vibe renderer).
+MESH_COLORS = {
+    "light_pink": (0.96, 0.76, 0.76),
+    "pink": (0.77, 0.57, 0.57),
+    "light_blue": (0.65, 0.74, 0.86),
+    "blue": (0.0, 0.4, 0.7),
+    "light_green": (0.65, 0.85, 0.65),
+    "green": (0.3, 0.7, 0.3),
+    "purple": (0.6, 0.4, 0.7),
+    "red": (0.8, 0.3, 0.3),
+    "gray": (0.5, 0.5, 0.5),
+    "white": (0.9, 0.9, 0.9),
+    "yellow": (0.85, 0.8, 0.3),
+}
+
+
+def get_mesh_color(name: str) -> tuple:
+    return MESH_COLORS.get(name, MESH_COLORS["light_pink"])
+
+
 def jet_colormap(x: np.ndarray) -> np.ndarray:
     """Matplotlib-'jet'-style colormap, x in [0,1] -> RGB in [0,1]."""
     x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
