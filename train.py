@@ -69,7 +69,20 @@ def main():
                         help="override DATASET.DATA_DIR")
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint path")
+    parser.add_argument(
+        "--make_launcher", default=None, choices=["bash", "slurm"],
+        help="write a grid-search array launcher and exit (the "
+             "reference's --cluster HTCondor handoff contract, "
+             "config.py:337-355)",
+    )
     args = parser.parse_args()
+
+    if args.make_launcher:
+        from poco_tpu.utils.cluster import write_launcher
+
+        path = write_launcher(args.cfg, scheduler=args.make_launcher)
+        print(f"launcher written: {path}")
+        return
 
     from poco_tpu.config import run_grid_search_experiments
     from poco_tpu.data.dataset import PocoDataset
