@@ -95,6 +95,7 @@ class PocoDataset:
         self.options = dict(
             FLIP=True, NOISE_FACTOR=0.4, ROT_FACTOR=30.0, SCALE_FACTOR=0.25,
             IMG_RES=IMG_RES, UNCERT_THRESHOLD=0.15,
+            TEST_ROT=0.0, TEST_SCALE=1.0,
         )
         self.options.update(options or {})
         self.occluders = occluders
@@ -191,7 +192,13 @@ class PocoDataset:
                 use_flip=self.options["FLIP"],
             )
         else:
-            aug = AugmentParams()
+            # Eval-time fixed augmentation for robustness studies
+            # (TESTING.TEST_ROT / TEST_SCALE; the reference's
+            # TestAugDataset is missing as shipped — SURVEY §2.1).
+            aug = AugmentParams(
+                rot=float(self.options.get("TEST_ROT", 0.0)),
+                scale=float(self.options.get("TEST_SCALE", 1.0)),
+            )
 
         img = self._load_image(index)
         orig_shape = np.array(img.shape[:2], np.float32)

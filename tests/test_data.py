@@ -222,3 +222,17 @@ class TestOcclusion:
         out = occlude_with_objects_kp(img, kp, 1.0, occluders, rng)
         assert out.shape == img.shape
         assert not np.allclose(out, img)  # something was pasted
+
+
+class TestEvalTimeAugmentation:
+    def test_test_rot_scale_applied(self, tiny_dataset):
+        npz, root = tiny_dataset
+        base = PocoDataset(npz, img_dir=root, is_train=False)
+        rot = PocoDataset(
+            npz, img_dir=root, is_train=False,
+            options={"TEST_ROT": 30.0, "TEST_SCALE": 1.2},
+        )
+        a, b = base[0], rot[0]
+        assert not np.allclose(a["img"], b["img"])
+        assert b["rot_angle"] == 30.0
+        np.testing.assert_allclose(b["scale"], a["scale"] * 1.2, rtol=1e-5)
