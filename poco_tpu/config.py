@@ -103,6 +103,11 @@ def get_hparams_defaults() -> CfgNode:
                 "WD": 0.0,
                 "MM": 0.9,
                 "MODULE_LR": "",
+                # ReduceLROnPlateau on the validation metric
+                # (reference trainer.py:606-626).
+                "LR_PLATEAU_FACTOR": 0.5,
+                "LR_PLATEAU_PATIENCE": 5,
+                "LR_MIN": 1e-7,
             },
             "TRAINING": {
                 "RESUME": None,

@@ -197,9 +197,41 @@ class Trainer:
         h = self.hparams.OPTIMIZER
         clip = self.hparams.TRAINING.GRAD_CLIP_VAL or None
         return make_optimizer(
-            lr=h.LR, weight_decay=h.WD, module_lr=self.module_lr,
-            frozen_modules=frozen, grad_clip=clip,
+            lr=getattr(self, "_current_lr", h.LR), weight_decay=h.WD,
+            module_lr=self.module_lr, frozen_modules=frozen, grad_clip=clip,
         )
+
+    def _maybe_reduce_lr_on_plateau(self, metric: float) -> None:
+        """ReduceLROnPlateau (reference trainer.py:606-626): halve the LR
+        when the composite validation metric stops improving. Adam state
+        (mu/nu/count) is LR-independent, so the optimizer transformation
+        is rebuilt in place without resetting momentum."""
+        h = self.hparams.OPTIMIZER
+        if not hasattr(self, "_current_lr"):
+            self._current_lr = h.LR
+            self._plateau_best = float("inf")
+            self._plateau_count = 0
+        if metric < self._plateau_best - 1e-6:
+            self._plateau_best = metric
+            self._plateau_count = 0
+            return
+        self._plateau_count += 1
+        patience = h.get("LR_PLATEAU_PATIENCE", 5)
+        if self._plateau_count >= patience:
+            new_lr = max(
+                self._current_lr * h.get("LR_PLATEAU_FACTOR", 0.5),
+                h.get("LR_MIN", 1e-7),
+            )
+            if new_lr < self._current_lr:
+                self._current_lr = new_lr
+                frozen = ()
+                for e in sorted(self.freeze_schedule):
+                    if e <= self.epoch:
+                        frozen = tuple(self.freeze_schedule[e])
+                tx = self._make_tx(frozen)
+                self.state = self.state.replace(tx=tx)
+                self._log({"event": "lr_plateau", "lr": new_lr})
+            self._plateau_count = 0
 
     def _apply_freeze_schedule(self, epoch: int) -> None:
         if epoch not in self.freeze_schedule:
@@ -375,6 +407,7 @@ class Trainer:
             self.save_checkpoint("best_model")
             if self.hparams.TESTING.SAVE_RESULTS:
                 self._dump_results(result, epoch)
+        self._maybe_reduce_lr_on_plateau(metric)
         return summary
 
     def _dump_results(self, result, epoch: int) -> None:

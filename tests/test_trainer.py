@@ -462,3 +462,27 @@ class TestTensorboardLogging:
             if f.startswith("events.out.tfevents")
         ]
         assert events, os.listdir(h.LOG_DIR)
+
+
+class TestLrPlateau:
+    def test_lr_halves_after_patience(self, tmp_path):
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.OPTIMIZER.LR_PLATEAU_PATIENCE = 2
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(h, smpl, train_dataset_fn=lambda e: _ArrayDataset())
+        trainer._maybe_reduce_lr_on_plateau(10.0)   # new best
+        assert trainer._current_lr == h.OPTIMIZER.LR
+        trainer._maybe_reduce_lr_on_plateau(11.0)   # worse x1
+        trainer._maybe_reduce_lr_on_plateau(11.0)   # worse x2 -> reduce
+        assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
+        trainer._maybe_reduce_lr_on_plateau(9.0)    # improves, no change
+        assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
