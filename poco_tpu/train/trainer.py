@@ -407,8 +407,26 @@ class Trainer:
             self.save_checkpoint("best_model")
             if self.hparams.TESTING.SAVE_RESULTS:
                 self._dump_results(result, epoch)
+        self._retain_top_k(epoch, metric)
         self._maybe_reduce_lr_on_plateau(metric)
         return summary
+
+    def _retain_top_k(self, epoch: int, metric: float, k: int = 5) -> None:
+        """Keep the k best epoch checkpoints by validation metric
+        (reference ModelCheckpoint save_top_k=5, train.py:56-61)."""
+        import shutil
+
+        if not hasattr(self, "_topk"):
+            self._topk: list[tuple[float, str]] = []
+        name = f"epoch_{epoch:03d}"
+        self.save_checkpoint(name)
+        self._topk.append((metric, name))
+        self._topk.sort(key=lambda x: x[0])
+        while len(self._topk) > k:
+            _, worst = self._topk.pop()
+            path = os.path.join(self.logdir, worst)
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)
 
     def _dump_results(self, result, epoch: int) -> None:
         """Per-sample eval dump (reference save_results.py:45-93)."""

@@ -486,3 +486,25 @@ class TestLrPlateau:
         assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
         trainer._maybe_reduce_lr_on_plateau(9.0)    # improves, no change
         assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
+
+
+class TestTopKRetention:
+    def test_keeps_best_k(self, tmp_path):
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(h, smpl, train_dataset_fn=lambda e: _ArrayDataset())
+        for epoch, metric in enumerate([50.0, 40.0, 60.0, 30.0]):
+            trainer._retain_top_k(epoch, metric, k=2)
+        kept = sorted(
+            d for d in os.listdir(h.LOG_DIR) if d.startswith("epoch_")
+        )
+        assert kept == ["epoch_001", "epoch_003"]  # the two best metrics
