@@ -134,6 +134,15 @@ def main():
     summary = trainer.fit(args.max_epochs)
     print("final:", summary)
 
+    # RUN_TEST: final evaluation with the best checkpoint (reference
+    # train.py:98-106 runs validate -> fit -> test).
+    if hparams.RUN_TEST and val_dataset is not None:
+        best = os.path.join(hparams.LOG_DIR, "best_model")
+        if os.path.exists(best):
+            trainer.load_checkpoint(best)
+        test_summary = trainer.validate(trainer.epoch)
+        print("test:", test_summary)
+
 
 if __name__ == "__main__":
     main()
