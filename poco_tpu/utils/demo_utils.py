@@ -124,6 +124,29 @@ def convert_crop_coords_to_orig_img(
     return kp
 
 
+def split_into_chunks(frame_ids, seqlen: int, stride: int) -> list:
+    """Split a frame-index track into overlapping temporal chunks.
+
+    Reference contract: vibe_image_utils.py:354-371 — used to batch video
+    tracklets into fixed-length windows.
+
+    Returns a list of (start_index, end_index) pairs into `frame_ids`.
+    """
+    import numpy as np
+
+    frame_ids = list(frame_ids)
+    if len(frame_ids) < seqlen:
+        return [(0, len(frame_ids))] if frame_ids else []
+    chunks = []
+    start = 0
+    while start + seqlen <= len(frame_ids):
+        chunks.append((start, start + seqlen))
+        start += stride
+    if chunks and chunks[-1][1] < len(frame_ids):
+        chunks.append((len(frame_ids) - seqlen, len(frame_ids)))
+    return chunks
+
+
 def prepare_rendering_results(results: dict, nframes: int) -> list:
     """Per-frame, depth-ordered person render list.
 

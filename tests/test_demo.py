@@ -297,3 +297,21 @@ class TestPartLabels:
         )
         loss = part_segmentation_loss(logits, jnp.asarray(labels))
         assert np.isfinite(float(loss))
+
+
+class TestVideoChunking:
+    def test_chunks_cover_track(self):
+        from poco_tpu.utils.demo_utils import split_into_chunks
+
+        chunks = split_into_chunks(list(range(10)), seqlen=4, stride=4)
+        assert chunks == [(0, 4), (4, 8), (6, 10)]
+        covered = set()
+        for a, b in chunks:
+            covered.update(range(a, b))
+        assert covered == set(range(10))
+
+    def test_short_track_single_chunk(self):
+        from poco_tpu.utils.demo_utils import split_into_chunks
+
+        assert split_into_chunks([0, 1], seqlen=8, stride=4) == [(0, 2)]
+        assert split_into_chunks([], seqlen=8, stride=4) == []
