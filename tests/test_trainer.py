@@ -508,3 +508,27 @@ class TestTopKRetention:
             d for d in os.listdir(h.LOG_DIR) if d.startswith("epoch_")
         )
         assert kept == ["epoch_001", "epoch_003"]  # the two best metrics
+
+
+class TestSpinMethodTraining:
+    def test_hmr_baseline_trains_and_validates(self, tmp_path):
+        """METHOD=spin: HMR model + mse loss (no uncertainty/flow) through
+        the full Trainer (reference METHOD=spin path)."""
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.METHOD = "spin"
+        h.SPIN.BACKBONE = "tiny"
+        h.DATASET.BATCH_SIZE = 8
+        h.TRAINING.LOG_SAVE_INTERVAL = 1
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(
+            h, smpl,
+            train_dataset_fn=lambda e: _ArrayDataset(n=8),
+            val_dataset=_ArrayDataset(n=8, seed=1),
+        )
+        summary = trainer.fit(max_epochs=1)
+        assert np.isfinite(summary["mpjpe"])
+        # no uncertainty head in the spin baseline
+        assert "uncert_head" not in trainer.state.params
+        assert "uncert_mpjpe_corr" not in summary
