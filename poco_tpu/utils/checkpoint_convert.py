@@ -218,7 +218,7 @@ def _hrnet_module_name(mod: str) -> tuple[str | None, list[str]]:
 
     # unused heads (pose-variant final_layer heatmap conv, cls classifier)
     if mod.startswith(("final_layer", "classifier")):
-        return None, []
+        return "skip", []
     return None, []
 
 
@@ -277,6 +277,10 @@ def _flow_module_name(mod: str) -> tuple[str | None, list[str]]:
         # Sequential [Linear, LeakyReLU, Linear, LeakyReLU, Linear(, Tanh)]
         fc = int(seq) // 2
         return "linear", ["flow", f"{st}{i}", f"fc{fc}"]
+    if mod == "flow":
+        # RealNVP's coupling-mask buffer (real_nvp.py:10) — deterministic
+        # from (num_nf_rv, num_flow_layers, mask type), rebuilt at init.
+        return "skip", []
     return None, []
 
 
@@ -318,7 +322,10 @@ def convert_state_dict(
         elif mod.startswith("flow_head."):
             kind, path = _flow_module_name(mod[len("flow_head."):])
             path = ["flow_head"] + path
-        elif mod == "" or mod in ("init_pose", "init_shape", "init_cam"):
+        elif mod in ("", "head") or mod in (
+            "init_pose", "init_shape", "init_cam"
+        ):
+            # model-level buffers ('head' group = head.init_pose etc.)
             for name, val in leaves.items():
                 if name in ("init_pose", "init_shape", "init_cam"):
                     tb.buffers.setdefault("head", {})[name] = _np(val).reshape(-1)
@@ -327,6 +334,8 @@ def convert_state_dict(
             unmatched.append(mod)
             continue
 
+        if kind == "skip":
+            continue
         if kind is None:
             if not mod.endswith(
                 ("num_batches_tracked", "temperature", "mask", "pos_enc")

@@ -1,0 +1,234 @@
+"""Full-width parity against the ACTUAL reference torch modules.
+
+Every other parity test uses hand-built tiny-width torch clones; these
+instantiate the reference's own code (/root/reference/pocolib) at full
+width with random weights, convert the real ~1500-tensor state_dicts
+with `convert_state_dict`, and assert the flax forward reproduces the
+torch forward — both model families:
+
+  * POCO-CLIFF: hrnet_w48_cls -> cliff_head -> poco_head(feat-pose-net)
+    -> nf_head(1 coupling layer, cond)   [configs/demo_poco_cliff.yaml]
+  * POCO-PARE:  hrnet_w32 -> pare_head(part_segm + keypoint attention)
+    -> poco_head(feat-pose) -> nf_head(3 layers)
+                                         [configs/demo_poco_pare.yaml]
+
+The SMPL stage is excluded (smplx is not installed here); pred_pose /
+pred_shape / pred_cam / var_pose / log_phi are all upstream of SMPL, and
+the JAX SMPL layer has its own parity suite (tests/test_smpl.py) plus
+the asset-gated golden gate (tests/test_golden.py).
+
+Reference: pocolib/models/poco.py:40-129 (composition + forward),
+hrnet_cls.py:250-486, hrnet.py:466-529, cliff_head.py:74-127,
+pare_head.py:669-752, poco_head.py:96-154, nf_head.py:78-136.
+
+First run compiles the full models on CPU (slow, one-time); the
+persistent compilation cache makes later runs cheap.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from poco_tpu.models.poco import (
+    build_poco_cliff,
+    build_poco_pare,
+    init_poco,
+)
+from poco_tpu.smpl.assets import synthetic_smpl_model
+from poco_tpu.utils.checkpoint_convert import convert_state_dict, merge_converted
+
+from .ref_torch import (
+    calibrate_bn,
+    import_reference_modules,
+    randomize_bn_stats,
+)
+
+BATCH = 2
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    return import_reference_modules(tmp_path_factory.mktemp("refassets"))
+
+
+def _gt_pose(ref, gen):
+    """Random GT pose as (B,72) axis-angle + the matching (B,24,3,3)."""
+    aa = torch.randn(BATCH, 72, generator=gen) * 0.3
+    rotmat = ref.batch_rodrigues(aa.reshape(-1, 3)).reshape(BATCH, 24, 3, 3)
+    return aa, rotmat
+
+
+def _torch_uncert_and_flow(ref, head_out, uncert, flow, gt_aa):
+    """Run the reference uncertainty + flow stages (train-mode flow)."""
+    with torch.no_grad():
+        uncert_out = uncert(head_out, {}, {})  # eval: no 'is_train' key
+        batch_t = {
+            "is_train": True,
+            "pose": gt_aa,
+            "has_smpl": torch.ones(BATCH),
+        }
+        pred = {
+            "smpl_vertices": torch.zeros(BATCH, 8, 3),
+            "pred_pose": head_out["pred_pose"],
+            "var_pose": uncert_out["var_pose"],
+        }
+        flow_out = flow(head_out, dict(pred), batch_t)
+    return uncert_out, flow_out
+
+
+def _full_state_dict(backbone, head, uncert, flow):
+    sd = {}
+    for prefix, mod in (
+        ("backbone", backbone),
+        ("head", head),
+        ("uncert_head", uncert),
+        ("flow_head", flow),
+    ):
+        sd.update({f"{prefix}.{k}": v for k, v in mod.state_dict().items()})
+    return sd
+
+
+def _converted_variables(model, sd, head_type):
+    conv = convert_state_dict(sd, head_type=head_type)
+    assert not conv["unmatched"], conv["unmatched"]
+    smpl = synthetic_smpl_model(num_verts=128)
+    variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
+    merged, stats = merge_converted(variables, conv)
+    assert stats["skipped"] == 0, stats
+    # every converted tensor must land somewhere
+    n_src = sum(
+        1
+        for col in ("params", "batch_stats", "buffers")
+        for _ in jax.tree_util.tree_leaves(conv[col])
+    )
+    assert stats["loaded"] == n_src, (stats, n_src)
+    return merged, smpl
+
+
+def _jax_batch(img_t, gt_rotmat, bbox=None):
+    b = {
+        "img": jnp.asarray(img_t.numpy().transpose(0, 2, 3, 1)),
+        "bbox_info": jnp.asarray(
+            bbox.numpy() if bbox is not None else np.zeros((BATCH, 3), np.float32)
+        ),
+        "focal_length": jnp.full((BATCH,), 1118.0, jnp.float32),
+        "scale": jnp.full((BATCH,), 1.2, jnp.float32),
+        "center": jnp.full((BATCH, 2), 500.0, jnp.float32),
+        "orig_shape": jnp.full((BATCH, 2), 1000.0, jnp.float32),
+        "gt_pose_rotmat": jnp.asarray(gt_rotmat.numpy()),
+        "gt_pose_cond_mask": jnp.zeros((BATCH,), bool),
+    }
+    return b
+
+
+def _assert_close(name, got, want, atol, rtol=1e-3):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    err = np.max(np.abs(got - want))
+    np.testing.assert_allclose(
+        got, want, atol=atol, rtol=rtol,
+        err_msg=f"{name}: max abs err {err:.3e}",
+    )
+
+
+class TestFullWidthCliff:
+    """hrnet_w48_cls + cliff + poco_head(feat-pose-net) + nf_head."""
+
+    def test_poco_cliff_fullwidth_parity(self, ref):
+        torch.manual_seed(0)
+        backbone = ref.hrnet_w48_cls()
+        head = ref.cliff_head(2048, "diff_branch", "sigmoid")
+        uncert = ref.poco_head(
+            2048, [216], 1, "sigmoid", True, "diff_branch", [],
+            "norm_flow_res_gaus", "pose", "feat-pose-net",
+            True, "h36m", 0.25,
+        )
+        flow = ref.nf_head("pose", 1, "", "alter", [], 9, True, 2048, 512)
+        for m in (backbone, head, uncert, flow):
+            m.eval()
+        randomize_bn_stats(backbone, seed=1)
+
+        gen = torch.Generator().manual_seed(2)
+        img = torch.randn(BATCH, 3, 224, 224, generator=gen)
+        bbox = torch.randn(BATCH, 3, generator=gen) * 0.2
+        gt_aa, gt_rotmat = _gt_pose(ref, gen)
+        calibrate_bn(backbone, torch.randn(4, 3, 224, 224, generator=gen))
+
+        with torch.no_grad():
+            feats = backbone(img)
+            head_out = head(feats, {"bbox_info": bbox})
+        uncert_out, flow_out = _torch_uncert_and_flow(
+            ref, head_out, uncert, flow, gt_aa
+        )
+
+        model = build_poco_cliff()
+        merged, smpl = _converted_variables(
+            model, _full_state_dict(backbone, head, uncert, flow), "cliff"
+        )
+        batch = _jax_batch(img, gt_rotmat, bbox)
+        out = jax.jit(
+            lambda v, b, s: model.apply(v, b, s, train=False)
+        )(merged, batch, smpl)
+
+        _assert_close("backbone feats", out["uncert_feat"], feats, atol=2e-3)
+        _assert_close("pred_pose", out["pred_pose"], head_out["pred_pose"], atol=1e-3)
+        _assert_close("pred_shape", out["pred_shape"], head_out["pred_shape"], atol=1e-3)
+        _assert_close("pred_cam", out["pred_cam"], head_out["pred_cam"], atol=1e-3)
+        _assert_close("var_pose", out["var_pose"], uncert_out["var_pose"], atol=1e-3)
+        _assert_close("log_phi", out["log_phi"], flow_out["log_phi"], atol=2e-2)
+
+
+class TestFullWidthPare:
+    """hrnet_w32 + pare_head + poco_head(feat-pose) + nf_head(3 layers)."""
+
+    def test_poco_pare_fullwidth_parity(self, ref):
+        torch.manual_seed(10)
+        backbone = ref.hrnet_w32(pretrained=True)  # no ckpt file -> random
+        head = ref.pare_head(480, "diff_branch", "sigmoid")
+        uncert = ref.poco_head(
+            head.get_output_channels(), [512], 1, "sigmoid", True,
+            "diff_branch", [], "norm_flow_res_gaus", "pose", "feat-pose",
+            False, "h36m", 0.25,
+        )
+        flow = ref.nf_head(
+            "pose", 3, "", "alter", [], 9, True,
+            head.get_output_channels(), 512,
+        )
+        for m in (backbone, head, uncert, flow):
+            m.eval()
+        randomize_bn_stats(backbone, seed=11)
+        randomize_bn_stats(head, seed=12)
+
+        gen = torch.Generator().manual_seed(13)
+        img = torch.randn(BATCH, 3, 224, 224, generator=gen)
+        gt_aa, gt_rotmat = _gt_pose(ref, gen)
+        calib = torch.randn(4, 3, 224, 224, generator=gen)
+        calibrate_bn(backbone, calib)
+        with torch.no_grad():
+            calibrate_bn(head, backbone(calib))
+
+        with torch.no_grad():
+            feats = backbone(img)
+            head_out = head(feats)
+        uncert_out, flow_out = _torch_uncert_and_flow(
+            ref, head_out, uncert, flow, gt_aa
+        )
+
+        model = build_poco_pare()
+        merged, smpl = _converted_variables(
+            model, _full_state_dict(backbone, head, uncert, flow), "pare"
+        )
+        batch = _jax_batch(img, gt_rotmat)
+        out = jax.jit(
+            lambda v, b, s: model.apply(v, b, s, train=False)
+        )(merged, batch, smpl)
+
+        _assert_close("pred_pose", out["pred_pose"], head_out["pred_pose"], atol=2e-3)
+        _assert_close("pred_shape", out["pred_shape"], head_out["pred_shape"], atol=2e-3)
+        _assert_close("pred_cam", out["pred_cam"], head_out["pred_cam"], atol=2e-3)
+        _assert_close("var_pose", out["var_pose"], uncert_out["var_pose"], atol=2e-3)
+        _assert_close("log_phi", out["log_phi"], flow_out["log_phi"], atol=5e-2)
