@@ -241,12 +241,6 @@ def get_grid_search_configs(
             flat[k] = [v]
         else:
             flat[k] = [v]
-    # excluded keys with list values stay atomic
-    for k in excluded_keys:
-        if k in flat and isinstance(flat[k], list) and flat[k] and isinstance(
-            flat[k][0], list
-        ):
-            pass
     keys = list(flat.keys())
     values = [flat[k] if isinstance(flat[k], list) else [flat[k]] for k in keys]
     experiments = [

@@ -81,13 +81,12 @@ def make_gendered_eval_step(
             pred_j14 = pred_j - pred_j.mean(axis=1, keepdims=True)
             gt_j14 = gt_j - gt_j.mean(axis=1, keepdims=True)
 
-        pred_c = pred_verts - pred_verts.mean(axis=1, keepdims=True)
-        gt_c = gt_verts - gt_verts.mean(axis=1, keepdims=True)
-
         metrics = {
             "mpjpe": mpjpe(pred_j14, gt_j14),
             "pa_mpjpe": pa_mpjpe(pred_j14, gt_j14),
-            "v2v": vertex_error(pred_c, gt_c),
+            # Raw vertices, no alignment — the reference protocol
+            # (eval_utils.py:104-118 compares unaligned meshes).
+            "v2v": vertex_error(pred_verts, gt_verts),
         }
         if out.get("var_pose") is not None:
             metrics["var_pose"] = out["var_pose"]

@@ -55,6 +55,13 @@ class LossConfig:
     smpl_segm_loss_weight: float = 1.0
     use_smpl_render_loss: bool = False
     smpl_render_loss_weight: float = 1.0
+    # The reference's smpl_losses_uncertainty silently trains the pose
+    # term as plain MSE whenever sigma is 2-D (SIGMA_DIM=1 — all shipped
+    # configs): the `if len(pose_var.shape) == 2` branch swallows the
+    # loss_ver elif chain (losses.py:477-496). We replicate that by
+    # default; set sigma1_nll=True to apply the Gaussian NLL with a
+    # broadcast sigma instead (documented divergence, PARITY.md).
+    sigma1_nll: bool = False
 
     @property
     def effective_pose_weight(self) -> float:
@@ -149,11 +156,16 @@ def smpl_losses_uncertainty(
 
     if var_pose is not None and "pose" in cfg.uncert_type:
         sigma = var_pose
-        if sigma.ndim == 2:
+        sigma_was_2d = sigma.ndim == 2
+        if sigma_was_2d:
             sigma = jnp.broadcast_to(
                 sigma[:, :, None, None], sigma.shape[:2] + (3, 3)
             )
-        if cfg.loss_ver == "norm_flow_res":
+        if sigma_was_2d and not cfg.sigma1_nll:
+            # Reference fallthrough: 2-D sigma (SIGMA_DIM=1) -> plain MSE
+            # for the pose term (losses.py:477-479 swallows the elifs).
+            loss_pose = masked_mean(sq_err, uncert)
+        elif cfg.loss_ver == "norm_flow_res":
             amp = 1.0 / math.sqrt(2.0 * math.pi)
             log_q = jnp.log(sigma / amp) + jnp.abs(pred_rotmat - gt_rotmat) / (
                 math.sqrt(2.0) * sigma + 1e-9
@@ -166,7 +178,10 @@ def smpl_losses_uncertainty(
                 nll = sq_err / (sigma + _EPS) + jnp.log(sigma + _EPS)
                 loss_pose = 0.5 * masked_mean(nll, uncert)
         else:
-            loss_pose = masked_mean(sq_err, uncert)
+            # Reference: unknown loss_ver with 'pose' uncert -> zero pose
+            # loss (losses.py:494-496 fills 0) — kept as masked MSE here
+            # would diverge; replicate the zero.
+            loss_pose = jnp.zeros((), pred_rotmat.dtype)
     else:
         loss_pose = masked_mean(sq_err, uncert)
 

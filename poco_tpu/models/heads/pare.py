@@ -87,6 +87,7 @@ class PareHead(nn.Module):
     num_branch_iteration: int = 0
     use_soft_attention: bool = False
     use_position_encodings: bool = False
+    use_keypoint_features_for_smpl: bool = False
     mean_params_path: str | None = None
     dtype: Any = jnp.float32
 
@@ -102,6 +103,16 @@ class PareHead(nn.Module):
     def _use_hmr(self) -> bool:
         # soft attention forces HMR regression (pare_head.py:112-116).
         return self.use_hmr_regression or self.use_soft_attention
+
+    @property
+    def _use_kp_feats_for_smpl(self) -> bool:
+        # Reference override chain (pare_head.py:112-123): soft attention
+        # forces it True, co-attention forces it False.
+        if self.use_soft_attention:
+            return True
+        if self.use_coattention:
+            return False
+        return self.use_keypoint_features_for_smpl
 
     def _conv_branch(self, x, name: str, train: bool):
         """2x [3x3 conv (no bias) -> BN -> ReLU] (pare_head.py:468-491)."""
@@ -213,8 +224,8 @@ class PareHead(nn.Module):
         part_feats = self._conv_branch(features, "keypoint_deconv", train)
         if branch_nl_2d is not None:
             part_feats = branch_nl_2d(part_feats, train)
-        if self.use_soft_attention or False:
-            smpl_feats = part_feats  # use_keypoint_features_for_smpl
+        if self._use_kp_feats_for_smpl:
+            smpl_feats = part_feats  # pare_head.py:772 / 950
         else:
             smpl_feats = self._conv_branch(features, "smpl_deconv", train)
             if branch_nl_3d is not None:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..constants import FOCAL_LENGTH, IMG_RES
 from ..losses.losses import LossConfig, poco_loss
-from ..ops.camera import estimate_translation, perspective_projection
+from ..ops.camera import perspective_projection
 from ..ops.rotation import axis_angle_to_rotmat
 from ..smpl.lbs import SmplParams
 from ..smpl.model import smpl_49
@@ -55,16 +55,23 @@ def prepare_gt(
         gt["pose_3d"] = jnp.concatenate([gt_joints49[:, 25:], conf], axis=-1)
 
     if "keypoints" not in batch:
-        # Fit translation against crop keypoints and project (trainer.py
-        # 238-247 equivalent) — used when npz annotations carry no 2D kp.
-        kp = jnp.concatenate(
-            [gt_joints49[:, 25:], jnp.ones((batch_size, 24, 1))], axis=-1
+        # No 2D annotations: synthesize crop-frame GT keypoints by
+        # projecting the GT joints with a canonical camera (fixed depth
+        # tz = 2f/res, i.e. weak-perspective s=1, principal point at the
+        # crop center) and normalizing to [-1, 1]. A translation fit
+        # against 3D xy coordinates would be geometrically meaningless
+        # (they are meters, not pixels).
+        cam_t = jnp.tile(
+            jnp.asarray(
+                [[0.0, 0.0, 2.0 * FOCAL_LENGTH / IMG_RES]], jnp.float32
+            ),
+            (batch_size, 1),
         )
-        cam_t = estimate_translation(
-            gt_joints49[:, 25:], kp[..., :2], kp[..., 2]
+        center = jnp.full((batch_size, 2), IMG_RES / 2.0, jnp.float32)
+        proj = perspective_projection(
+            gt_joints49, cam_t, FOCAL_LENGTH, camera_center=center
         )
-        proj = perspective_projection(gt_joints49, cam_t, FOCAL_LENGTH)
-        norm = proj / (IMG_RES / 2.0) - 0.0
+        norm = 2.0 * proj / IMG_RES - 1.0
         gt["keypoints"] = jnp.concatenate(
             [norm, jnp.ones((batch_size, 49, 1))], axis=-1
         )
@@ -185,16 +192,17 @@ def make_eval_step(model, j_regressor_h36m: jnp.ndarray | None = None):
             sel = jnp.asarray(J24_TO_J14)
             pred_j = out["smpl_joints3d"][:, 25:][:, sel]
             gt_j = batch["gt_joints3d"][:, sel]
-            pred_j14 = pred_j - pred_j[:, 2:3]
-            gt_j14 = gt_j - gt_j[:, 2:3]
-
-        gt_pelvis_verts = gt_verts - gt_verts.mean(axis=1, keepdims=True)
-        pred_pelvis_verts = pred_verts - pred_verts.mean(axis=1, keepdims=True)
+            # Hip-midpoint pelvis, matching keypoint_3d_loss and the
+            # reference eval convention (joints 2 and 3 averaged).
+            pred_j14 = pred_j - (pred_j[:, 2:3] + pred_j[:, 3:4]) / 2.0
+            gt_j14 = gt_j - (gt_j[:, 2:3] + gt_j[:, 3:4]) / 2.0
 
         metrics = {
             "mpjpe": mpjpe(pred_j14, gt_j14),
             "pa_mpjpe": pa_mpjpe(pred_j14, gt_j14),
-            "v2v": vertex_error(pred_pelvis_verts, gt_pelvis_verts),
+            # Raw vertices, no alignment — the reference protocol
+            # (eval_utils.py:104-118 compares unaligned meshes).
+            "v2v": vertex_error(pred_verts, gt_verts),
         }
         if out.get("var_pose") is not None:
             metrics["uncert"] = out["var_pose"].mean(axis=-1)

@@ -372,13 +372,17 @@ def convert_state_dict(
     }
 
 
-def merge_converted(variables: dict, converted: dict) -> dict:
+def merge_converted(
+    variables: dict, converted: dict
+) -> tuple[dict, dict]:
     """Overlay converted tensors onto an initialized variable tree.
 
     Shape-mismatched or missing leaves keep their initialized values
     (mirrors the reference's tolerant loading,
-    pocolib/utils/train_utils.py:138-158), and the overlay reports what
-    was replaced.
+    pocolib/utils/train_utils.py:138-158).
+
+    Returns:
+        (merged_variables, stats) where stats counts loaded/skipped leaves.
     """
     import jax.numpy as jnp
 

@@ -115,7 +115,10 @@ class TestLossVariants:
         var = jnp.full((4, 24), 0.5)
         return pred_rot, pred_betas, gt_pose, gt_betas, has_smpl, var
 
-    def test_gaus_variant_sigma_weighted(self):
+    def test_gaus_variant_2d_sigma_is_plain_mse(self):
+        # Reference parity: with SIGMA_DIM=1 (2-D var_pose) the pose term
+        # is plain MSE — sigma does not enter (reference losses.py:477-496
+        # fallthrough; see PARITY.md "Pose-loss sigma semantics").
         pr, pb, gp, gb, hs, var = self._inputs()
         cfg = LossConfig(loss_ver="norm_flow_res_gaus")
         loss_small, _ = smpl_losses_uncertainty(
@@ -124,7 +127,31 @@ class TestLossVariants:
         loss_large, _ = smpl_losses_uncertainty(
             pr, pb, gp, gb, hs, None, var, cfg
         )
-        # log-sigma penalty: smaller sigma with same error -> different loss
+        assert float(loss_small) == pytest.approx(float(loss_large))
+
+    def test_gaus_variant_sigma1_nll_opt_in(self):
+        # sigma1_nll=True applies the Gaussian NLL with broadcast sigma.
+        pr, pb, gp, gb, hs, var = self._inputs()
+        cfg = LossConfig(loss_ver="norm_flow_res_gaus", sigma1_nll=True)
+        loss_small, _ = smpl_losses_uncertainty(
+            pr, pb, gp, gb, hs, None, var * 0.2, cfg
+        )
+        loss_large, _ = smpl_losses_uncertainty(
+            pr, pb, gp, gb, hs, None, var, cfg
+        )
+        assert float(loss_small) != float(loss_large)
+
+    def test_gaus_variant_4d_sigma_weighted(self):
+        # SIGMA_DIM=9 (4-D var_pose): the NLL branch runs in both modes.
+        pr, pb, gp, gb, hs, var = self._inputs()
+        var4 = jnp.broadcast_to(var[:, :, None, None], (4, 24, 3, 3))
+        cfg = LossConfig(loss_ver="norm_flow_res_gaus")
+        loss_small, _ = smpl_losses_uncertainty(
+            pr, pb, gp, gb, hs, None, var4 * 0.2, cfg
+        )
+        loss_large, _ = smpl_losses_uncertainty(
+            pr, pb, gp, gb, hs, None, var4, cfg
+        )
         assert float(loss_small) != float(loss_large)
 
     def test_res_variant(self):
