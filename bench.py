@@ -86,11 +86,14 @@ def main():
     chained_run(WARMUP)  # compile + warm
 
     # Subtract the fixed dispatch/fetch overhead (1-step chain) from the
-    # long chain: t_iter = (t_N - t_1) / (N - 1). Take the best of three
-    # measurements — the device is reached through a shared tunnel and a
-    # single window can be polluted by other tenants.
+    # long chain: t_iter = (t_N - t_1) / (N - 1). Take the median over
+    # several chains and report the spread — the device is reached
+    # through a shared tunnel and a single window can be polluted by
+    # other tenants, so round-over-round comparisons need the
+    # distribution, not one sample.
+    n_chains = int(os.environ.get("POCO_BENCH_CHAINS", "5"))
     samples = []
-    for _ in range(3):
+    for _ in range(n_chains):
         t0 = time.perf_counter()
         chained_run(1)
         dt1 = time.perf_counter() - t0
@@ -98,11 +101,10 @@ def main():
         chained_run(ITERS)
         dt_n = time.perf_counter() - t0
         samples.append(max(dt_n - dt1, 1e-6) / max(ITERS - 1, 1))
-    t_iter = min(samples)
 
     n_chips = jax.device_count()
-    crops_per_sec = BATCH / t_iter
-    per_chip = crops_per_sec / n_chips
+    per_chip_samples = sorted(BATCH / t / n_chips for t in samples)
+    per_chip = float(np.median(per_chip_samples))
     print(
         json.dumps(
             {
@@ -110,6 +112,12 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "crops/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+                "spread": {
+                    "n_chains": n_chains,
+                    "min": round(per_chip_samples[0], 2),
+                    "max": round(per_chip_samples[-1], 2),
+                    "all": [round(s, 2) for s in per_chip_samples],
+                },
             }
         )
     )
