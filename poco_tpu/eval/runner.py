@@ -111,11 +111,21 @@ class EvalResult:
         }
         s["best_model_metric"] = 0.5 * (1.5 * s["pa_mpjpe"] + s["mpjpe"])
         if self.uncert is not None:
+            per_sample_var = self.uncert.mean(axis=-1)
             s["uncert_mpjpe_corr"] = float(
                 uncert_error_correlation(
-                    jnp.asarray(self.uncert.mean(axis=-1)),
-                    jnp.asarray(self.mpjpe_mm),
+                    jnp.asarray(per_sample_var), jnp.asarray(self.mpjpe_mm)
                 )
+            )
+            # Var-MPJPE (reference trainer.py:374-377): per-sample error
+            # divided by predicted variance — low means accurate AND
+            # confident. The reference logs it and resolves a
+            # best_mpjpe_var checkpoint but never saves one
+            # (train_utils.py:132-133 dangling); here the trainer tracks
+            # and saves it.
+            s["val_var"] = float(per_sample_var.mean())
+            s["mpjpe_var"] = float(
+                (self.mpjpe_mm / (per_sample_var + 1e-9)).mean()
             )
         return s
 
@@ -151,13 +161,21 @@ def run_eval(
     for bi, host_batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
-        names.extend(
-            host_batch.get(
-                "imgname",
-                [str(i) for i in host_batch["sample_index"]],
-            )
-        )
         n_valid = host_batch["pose"].shape[0]
+        # Robust sample names: imgname list, else sample_index, else a
+        # running counter; always exactly n_valid strings so `names`
+        # stays aligned with the metric arrays.
+        raw = host_batch.get("imgname")
+        if raw is None:
+            raw = host_batch.get("sample_index")
+        if raw is None:
+            raw = range(len(names), len(names) + n_valid)
+        batch_names = [str(n) for n in list(raw)[:n_valid]]
+        batch_names += [
+            str(i) for i in range(len(names) + len(batch_names),
+                                  len(names) + n_valid)
+        ]
+        names.extend(batch_names)
         dev_batch = {}
         for k, v in host_batch.items():
             if isinstance(v, list):

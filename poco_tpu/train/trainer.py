@@ -139,9 +139,11 @@ class Trainer:
         )
         self.best_metric = float("inf")
         self.best_corr = -float("inf")
+        self.best_mpjpe_var = float("inf")
         self.epoch = 0
         self.val_history: list[dict] = []
         self._global_step = 0
+        self._topk: list[tuple[float, str]] = []
 
         # Optional TensorBoard logging (reference PREF_LOGGER
         # "tensorboard", train.py:63-77) alongside the JSONL stream.
@@ -407,17 +409,25 @@ class Trainer:
             self.save_checkpoint("best_model")
             if self.hparams.TESTING.SAVE_RESULTS:
                 self._dump_results(result, epoch)
+        # Var-MPJPE best model (mpjpe / predicted variance): the
+        # checkpoint behind `--inf_model best_mpjpe_var`
+        # (reference train_utils.py:132-133; the reference trainer logs
+        # best_mpjpe_var but never saves the checkpoint — fixed here).
+        mpjpe_var = summary.get("mpjpe_var")
+        if mpjpe_var is not None and mpjpe_var < self.best_mpjpe_var:
+            self.best_mpjpe_var = mpjpe_var
+            self.save_checkpoint("best_model_mpjpe_var")
         self._retain_top_k(epoch, metric)
         self._maybe_reduce_lr_on_plateau(metric)
         return summary
 
     def _retain_top_k(self, epoch: int, metric: float, k: int = 5) -> None:
         """Keep the k best epoch checkpoints by validation metric
-        (reference ModelCheckpoint save_top_k=5, train.py:56-61)."""
+        (reference ModelCheckpoint save_top_k=5, train.py:56-61).
+        The retention list persists across restarts via the trainer-state
+        sidecar, so stale epoch checkpoints are pruned after a resume."""
         import shutil
 
-        if not hasattr(self, "_topk"):
-            self._topk: list[tuple[float, str]] = []
         name = f"epoch_{epoch:03d}"
         self.save_checkpoint(name)
         self._topk.append((metric, name))
@@ -447,6 +457,24 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def _trainer_state_dict(self) -> dict:
+        """Host-side trainer state for full resume (reference: PL
+        resume_from_checkpoint restores epoch/optimizer/callback state,
+        train.py:94)."""
+        return {
+            "next_epoch": self.epoch + 1,
+            "global_step": self._global_step,
+            "best_metric": self.best_metric,
+            "best_corr": self.best_corr,
+            "best_mpjpe_var": self.best_mpjpe_var,
+            "topk": [[float(m), n] for m, n in self._topk],
+            "current_lr": getattr(self, "_current_lr", None),
+            "plateau_best": getattr(self, "_plateau_best", None),
+            "plateau_count": getattr(self, "_plateau_count", None),
+            "val_history": self.val_history,
+            "rng": np.asarray(self.rng).tolist(),
+        }
+
     def save_checkpoint(self, name: str = "checkpoint") -> None:
         import orbax.checkpoint as ocp
 
@@ -457,12 +485,51 @@ class Trainer:
             "batch_stats": self.state.batch_stats,
             "buffers": self.state.buffers,
             "step": self.state.step,
+            "opt_state": self.state.opt_state,
         }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+        # Host-side trainer state rides in a sidecar next to the orbax
+        # dir (not inside it — orbax owns that directory's layout).
+        with open(path + ".trainer.json", "w") as f:
+            json.dump(self._trainer_state_dict(), f)
 
     def load_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+
+        # 1) Trainer sidecar first: epoch / best trackers / plateau-LR /
+        # top-k retention / rng. The LR must be known before the
+        # optimizer template is built so opt_state restores consistently.
+        sidecar = path + ".trainer.json"
+        ts = None
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                ts = json.load(f)
+            self.epoch = int(ts["next_epoch"])
+            self._global_step = int(ts["global_step"])
+            self.best_metric = float(ts["best_metric"])
+            self.best_corr = float(ts["best_corr"])
+            self.best_mpjpe_var = float(ts.get("best_mpjpe_var", np.inf))
+            self._topk = [(float(m), str(n)) for m, n in ts["topk"]]
+            self.val_history = list(ts["val_history"])
+            if ts.get("current_lr") is not None:
+                self._current_lr = float(ts["current_lr"])
+                self._plateau_best = float(ts["plateau_best"])
+                self._plateau_count = int(ts["plateau_count"])
+            if ts.get("rng") is not None:
+                self.rng = jnp.asarray(np.asarray(ts["rng"], np.uint32))
+            # Rebuild the optimizer for the restored epoch (freeze
+            # schedule + plateau LR) so the opt_state template matches.
+            frozen = ()
+            for e in sorted(self.freeze_schedule):
+                if e <= max(self.epoch - 1, 0):
+                    frozen = tuple(self.freeze_schedule[e])
+            tx = self._make_tx(frozen)
+            self.state = self.state.replace(
+                tx=tx, opt_state=tx.init(self.state.params)
+            )
 
         ckptr = ocp.StandardCheckpointer()
         template = {
@@ -470,14 +537,28 @@ class Trainer:
             "batch_stats": self.state.batch_stats,
             "buffers": self.state.buffers,
             "step": self.state.step,
+            "opt_state": self.state.opt_state,
         }
-        restored = ckptr.restore(os.path.abspath(path), template)
+        try:
+            restored = ckptr.restore(path, template)
+        except Exception:
+            # Older checkpoints lack opt_state; restore the rest.
+            template.pop("opt_state")
+            restored = ckptr.restore(path, template)
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             buffers=restored["buffers"],
             step=restored["step"],
         )
+        if restored.get("opt_state") is not None:
+            self.state = self.state.replace(
+                opt_state=restored["opt_state"]
+            )
+        self._log({
+            "event": "resume", "path": path,
+            "epoch": self.epoch, "with_sidecar": ts is not None,
+        })
 
     # ------------------------------------------------------------------
     def fit(self, max_epochs: int | None = None) -> dict:
