@@ -178,30 +178,31 @@ class PocoDataset:
             raise FileNotFoundError(path)
         return img[:, :, ::-1].astype(np.float32)
 
-    def __getitem__(self, index: int) -> dict[str, Any]:
-        center = self.center[index].copy()
-        scale = float(self.scale[index])
-        keypoints = self.keypoints[index].copy()
-
+    def _sample_aug(self):
         if self.is_train and self.use_augmentation:
-            aug = sample_augment_params(
+            return sample_augment_params(
                 self.rng,
                 noise_factor=self.options["NOISE_FACTOR"],
                 rot_factor=self.options["ROT_FACTOR"],
                 scale_factor=self.options["SCALE_FACTOR"],
                 use_flip=self.options["FLIP"],
             )
-        else:
-            # Eval-time fixed augmentation for robustness studies
-            # (TESTING.TEST_ROT / TEST_SCALE; the reference's
-            # TestAugDataset is missing as shipped — SURVEY §2.1).
-            aug = AugmentParams(
-                rot=float(self.options.get("TEST_ROT", 0.0)),
-                scale=float(self.options.get("TEST_SCALE", 1.0)),
-            )
+        # Eval-time fixed augmentation for robustness studies
+        # (TESTING.TEST_ROT / TEST_SCALE; the reference's
+        # TestAugDataset is missing as shipped — SURVEY §2.1).
+        return AugmentParams(
+            rot=float(self.options.get("TEST_ROT", 0.0)),
+            scale=float(self.options.get("TEST_SCALE", 1.0)),
+        )
 
-        img = self._load_image(index)
-        orig_shape = np.array(img.shape[:2], np.float32)
+    def _finish_item(
+        self, index: int, aug, crop: np.ndarray, orig_shape: np.ndarray
+    ) -> dict[str, Any]:
+        """Assemble the non-image fields for one sample (shared between
+        the per-item path and the native whole-batch path)."""
+        center = self.center[index].copy()
+        scale = float(self.scale[index])
+        keypoints = self.keypoints[index].copy()
 
         kp2d = process_keypoints_2d(
             keypoints, center, scale, aug, self.options["IMG_RES"]
@@ -211,9 +212,6 @@ class PocoDataset:
             bbox, kp2d[None].copy(), self.options["IMG_RES"]
         )[0]
 
-        crop = process_image(
-            img, center, aug.scale * scale, aug, self.options["IMG_RES"]
-        )
         if (
             self.occluders is not None
             and self.is_train
@@ -225,7 +223,7 @@ class PocoDataset:
                 crop, kp2d, scale, self.occluders, self.rng
             )
 
-        item = {
+        return {
             "img": crop,  # (R, R, 3) float32 [0,255]; normalize on device
             "pose": process_pose(self.pose[index], aug),
             "betas": self.betas[index].copy(),
@@ -250,7 +248,79 @@ class PocoDataset:
             "dataset_name": self.dataset_name,
             "imgname": str(self.imgname[index]),
         }
-        return item
+
+    def _item_cv2(self, index: int, aug) -> dict[str, Any]:
+        img = self._load_image(index)
+        orig_shape = np.array(img.shape[:2], np.float32)
+        center = self.center[index]
+        scale = float(self.scale[index])
+        crop = process_image(
+            img, center, aug.scale * scale, aug, self.options["IMG_RES"]
+        )
+        return self._finish_item(index, aug, crop, orig_shape)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        return self._item_cv2(index, self._sample_aug())
+
+    def _native_batch_enabled(self) -> bool:
+        if os.environ.get("POCO_TPU_NATIVE_LOADER", "1") == "0":
+            return False
+        from ..runtime import loader as native_loader
+
+        return native_loader.native_available()
+
+    def get_batch(self, indices) -> dict[str, np.ndarray]:
+        """Whole-batch fast path: threaded C++ decode + affine warp.
+
+        Default when the native library builds and all images are JPEG;
+        falls back to the per-item cv2 path otherwise (or per item on a
+        decode failure). Augmentation parameters are drawn from the same
+        RNG in the same order as the per-item path, and the warp matrix
+        is built with the identical cv2-convention math
+        (transforms.affine_output_to_source), so both paths produce the
+        same samples.
+        """
+        from .transforms import affine_output_to_source
+
+        indices = [int(i) for i in indices]
+        augs = [self._sample_aug() for _ in indices]
+        paths = [
+            os.path.join(self.img_dir, str(self.imgname[i])) for i in indices
+        ]
+        all_jpeg = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+        if not (all_jpeg and self._native_batch_enabled()):
+            return collate(
+                [self._item_cv2(i, a) for i, a in zip(indices, augs)]
+            )
+
+        from ..runtime import loader as native_loader
+
+        res = self.options["IMG_RES"]
+        affines = np.stack(
+            [
+                affine_output_to_source(
+                    self.center[i],
+                    a.scale * float(self.scale[i]) * 200.0,
+                    res, a.rot, a.flip,
+                )
+                for i, a in zip(indices, augs)
+            ]
+        )
+        gains = np.stack([a.pixel_noise for a in augs])
+        crops, statuses, dims = native_loader.batch_decode_affine(
+            paths, affines, gains, res
+        )
+        items = []
+        for k, (i, a) in enumerate(zip(indices, augs)):
+            if statuses[k] != 0:
+                items.append(self._item_cv2(i, a))  # same aug, cv2 retry
+            else:
+                items.append(
+                    self._finish_item(
+                        i, a, crops[k], dims[k].astype(np.float32)
+                    )
+                )
+        return collate(items)
 
 
 def collate(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:
@@ -348,11 +418,18 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
+        # Whole-batch fast path (native threaded decode+warp) when the
+        # dataset provides it; per-item otherwise.
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def producer():
             try:
                 for b in range(n_batches):
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    q.put(collate([self.dataset[int(i)] for i in idxs]))
+                    if get_batch is not None:
+                        q.put(get_batch(idxs))
+                    else:
+                        q.put(collate([self.dataset[int(i)] for i in idxs]))
             except Exception as e:  # surface loader errors to the consumer
                 q.put(e)
             q.put(None)

@@ -85,6 +85,34 @@ def _affine_matrix(
     return cv2.getAffineTransform(src, dst)
 
 
+def affine_output_to_source(
+    center,
+    bbox_size: float,
+    out_res: int = IMG_RES,
+    rot_deg: float = 0.0,
+    flip: bool = False,
+) -> np.ndarray:
+    """(2, 3) matrix mapping output crop pixel (j, i) -> source (x, y).
+
+    Exactly the mapping cv2.warpAffine applies for crop_image followed by
+    the `out[:, ::-1]` horizontal flip of process_image — used to drive
+    the native whole-batch warp (runtime.loader.batch_decode_affine) with
+    identical math.
+    """
+    m = _affine_matrix(
+        np.asarray(center, np.float32), bbox_size, out_res, rot_deg,
+        inv=True,
+    ).astype(np.float64)
+    if flip:
+        # output j -> out_res-1-j before the inverse crop transform
+        f = np.array(
+            [[-1.0, 0.0, out_res - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        m3 = np.vstack([m, [0.0, 0.0, 1.0]]) @ f
+        m = m3[:2]
+    return m.astype(np.float32)
+
+
 def crop_image(
     img: np.ndarray,
     center,

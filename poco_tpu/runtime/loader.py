@@ -75,6 +75,14 @@ def _load():
             ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.poco_batch_decode_affine.restype = None
+        lib.poco_batch_decode_affine.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -150,3 +158,42 @@ def batch_decode_crop(
         num_threads,
     )
     return out, statuses
+
+
+def batch_decode_affine(
+    paths: list[str],
+    affines: np.ndarray,
+    gains: np.ndarray,
+    out_res: int = 224,
+    num_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parallel decode + general affine warp of a batch of JPEG files.
+
+    Args:
+        affines: (N, 2, 3) output->source matrices (cv2 convention, same
+            math as data.transforms._affine_matrix(inv=True); rotation,
+            flip and scale are all encoded in the matrix).
+        gains: (N, 3) per-channel multipliers (channel-noise aug),
+            clamped to [0, 255].
+    Returns:
+        (crops (N, R, R, 3) float32, statuses (N,) int32 0=ok,
+         dims (N, 2) int32 decoded (h, w)).
+    """
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    affines = np.ascontiguousarray(
+        np.asarray(affines, np.float32).reshape(n, 6)
+    )
+    gains = np.ascontiguousarray(np.asarray(gains, np.float32))
+    out = np.empty((n, out_res, out_res, 3), np.float32)
+    statuses = np.zeros(n, np.int32)
+    dims = np.zeros((n, 2), np.int32)
+    lib.poco_batch_decode_affine(
+        c_paths, n, affines.ctypes.data, gains.ctypes.data,
+        out_res, MAX_H, MAX_W, out.ctypes.data, statuses.ctypes.data,
+        dims.ctypes.data, num_threads,
+    )
+    return out, statuses, dims

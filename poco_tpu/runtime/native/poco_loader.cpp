@@ -81,6 +81,19 @@ inline void sample_bilinear(const uint8_t* img, int h, int w,
   const int y0 = static_cast<int>(std::floor(y));
   const float wx = x - x0;
   const float wy = y - y0;
+  if (x0 >= 0 && y0 >= 0 && x0 + 1 < w && y0 + 1 < h) {
+    // Fast interior path: all four taps in bounds, no branches.
+    const uint8_t* p0 = img + (static_cast<size_t>(y0) * w + x0) * 3;
+    const uint8_t* p1 = p0 + static_cast<size_t>(w) * 3;
+    const float f00 = (1.f - wy) * (1.f - wx);
+    const float f01 = (1.f - wy) * wx;
+    const float f10 = wy * (1.f - wx);
+    const float f11 = wy * wx;
+    rgb[0] = f00 * p0[0] + f01 * p0[3] + f10 * p1[0] + f11 * p1[3];
+    rgb[1] = f00 * p0[1] + f01 * p0[4] + f10 * p1[1] + f11 * p1[4];
+    rgb[2] = f00 * p0[2] + f01 * p0[5] + f10 * p1[2] + f11 * p1[5];
+    return;
+  }
   for (int c = 0; c < 3; ++c) rgb[c] = 0.f;
   for (int dy = 0; dy < 2; ++dy) {
     const int yy = y0 + dy;
@@ -108,6 +121,26 @@ void affine_crop_impl(const uint8_t* img, int h, int w, float cx, float cy,
       sample_bilinear(img, h, w,
                       sx, sy,
                       out + (static_cast<size_t>(i) * out_res + j) * 3);
+    }
+  }
+}
+
+// General 2x3 output->source affine warp (rotation / flip / scale encoded
+// in the matrix, built host-side with the same cv2-convention math as the
+// Python path) + per-channel gain with [0,255] clamp (channel-noise aug).
+void affine_warp_impl(const uint8_t* img, int h, int w, const float* m,
+                      const float* gain, int out_res, float* out) {
+  const float g0 = gain[0], g1 = gain[1], g2 = gain[2];
+  for (int i = 0; i < out_res; ++i) {
+    // Source coordinates advance by a constant step along the row.
+    float sx = m[1] * i + m[2];
+    float sy = m[4] * i + m[5];
+    float* px = out + static_cast<size_t>(i) * out_res * 3;
+    for (int j = 0; j < out_res; ++j, px += 3, sx += m[0], sy += m[3]) {
+      sample_bilinear(img, h, w, sx, sy, px);
+      px[0] = std::min(std::max(px[0] * g0, 0.f), 255.f);
+      px[1] = std::min(std::max(px[1] * g1, 0.f), 255.f);
+      px[2] = std::min(std::max(px[2] * g2, 0.f), 255.f);
     }
   }
 }
@@ -171,6 +204,51 @@ void poco_batch_decode_crop(const char** paths, int n,
       affine_crop_impl(decode_buf.data(), h, w,
                        centers[2 * i], centers[2 * i + 1], bbox_sizes[i],
                        out_res,
+                       out + static_cast<size_t>(i) * out_res * out_res * 3);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& t : threads) t.join();
+}
+
+// Decode + general affine warp of a batch of JPEG files in parallel —
+// the whole-batch training input path (augmented crops).
+//   affines: (n, 6) row-major 2x3 output->source matrices
+//   gains:   (n, 3) per-channel multipliers (clamped to [0, 255])
+//   dims:    (n, 2) int32 out — decoded (h, w) per image
+void poco_batch_decode_affine(const char** paths, int n,
+                              const float* affines, const float* gains,
+                              int out_res, int max_h, int max_w,
+                              float* out, int* statuses, int* dims,
+                              int num_threads) {
+  if (num_threads < 1) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads < 1) num_threads = 1;
+  }
+  num_threads = std::min(num_threads, n);
+
+  auto worker = [&](int tid) {
+    std::vector<uint8_t> decode_buf(
+        static_cast<size_t>(max_h) * max_w * 3);
+    for (int i = tid; i < n; i += num_threads) {
+      std::vector<uint8_t> bytes = read_file(paths[i]);
+      if (bytes.empty()) {
+        statuses[i] = -3;
+        continue;
+      }
+      int h = 0, w = 0;
+      const int rc = decode_jpeg_impl(bytes.data(), bytes.size(),
+                                      decode_buf.data(), max_h, max_w,
+                                      &h, &w);
+      statuses[i] = rc;
+      if (rc != 0) continue;
+      dims[2 * i] = h;
+      dims[2 * i + 1] = w;
+      affine_warp_impl(decode_buf.data(), h, w,
+                       affines + 6 * i, gains + 3 * i, out_res,
                        out + static_cast<size_t>(i) * out_res * out_res * 3);
     }
   };

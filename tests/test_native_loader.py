@@ -81,3 +81,108 @@ class TestBatch:
             paths, np.tile([80.0, 60.0], (2, 1)), np.full(2, 64.0), 32
         )
         assert statuses[0] == 0 and statuses[1] != 0
+
+
+class TestBatchAffine:
+    def test_affine_matches_cv2_process_image(self, jpeg_file):
+        """Rotation + flip + channel noise via the native whole-batch
+        warp must match the per-item cv2 path (process_image)."""
+        from poco_tpu.data.transforms import (
+            AugmentParams,
+            affine_output_to_source,
+            process_image,
+        )
+
+        img = loader.decode_jpeg(jpeg_file)
+        center, scale, res = np.array([80.0, 60.0]), 0.4, 32
+        cases = [
+            AugmentParams(),
+            AugmentParams(rot=25.0),
+            AugmentParams(flip=True),
+            AugmentParams(
+                rot=-40.0, flip=True, scale=1.2,
+                pixel_noise=np.array([0.7, 1.0, 1.3], np.float32),
+            ),
+        ]
+        paths = [jpeg_file] * len(cases)
+        affines = np.stack(
+            [
+                affine_output_to_source(
+                    center, a.scale * scale * 200.0, res, a.rot, a.flip
+                )
+                for a in cases
+            ]
+        )
+        gains = np.stack([a.pixel_noise for a in cases])
+        crops, statuses, dims = loader.batch_decode_affine(
+            paths, affines, gains, res, num_threads=2
+        )
+        assert (statuses == 0).all()
+        assert (dims == [120, 160]).all()
+        for k, a in enumerate(cases):
+            ref = process_image(
+                img.astype(np.float32), center, a.scale * scale, a, res
+            )
+            # interior only: border pixels differ by cv2's fixed-point
+            # rounding at the zero-padding boundary
+            np.testing.assert_allclose(
+                crops[k][2:-2, 2:-2], ref[2:-2, 2:-2], atol=1.5,
+                err_msg=f"case {k}",
+            )
+
+    def test_dataset_get_batch_matches_per_item(self, tmp_path):
+        """PocoDataset.get_batch (native path) == per-item path with the
+        same RNG seed: identical aug params, near-identical crops."""
+        import cv2 as _cv2
+
+        from poco_tpu.data.dataset import PocoDataset, collate
+
+        rng = np.random.RandomState(3)
+        n = 6
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        names = []
+        for i in range(n):
+            img = _cv2.GaussianBlur(
+                rng.randint(0, 255, (128, 128, 3), dtype=np.uint8),
+                (11, 11), 5,
+            )
+            _cv2.imwrite(str(img_dir / f"i{i}.jpg"), img)
+            names.append(f"imgs/i{i}.jpg")
+        np.savez(
+            tmp_path / "ann.npz",
+            imgname=np.array(names),
+            center=np.full((n, 2), 64.0, np.float32),
+            scale=np.full((n,), 0.45, np.float32),
+            pose=(0.2 * rng.randn(n, 72)).astype(np.float32),
+            shape=rng.randn(n, 10).astype(np.float32),
+            S=rng.randn(n, 24, 4).astype(np.float32),
+            part=np.concatenate(
+                [64 + 20 * rng.randn(n, 24, 2), np.ones((n, 24, 1))], axis=-1
+            ).astype(np.float32),
+        )
+
+        def build():
+            return PocoDataset(
+                str(tmp_path / "ann.npz"), img_dir=str(tmp_path),
+                is_train=True, seed=7,
+            )
+
+        ds_a, ds_b = build(), build()
+        batch_native = ds_a.get_batch(range(n))
+        batch_items = collate([ds_b[i] for i in range(n)])
+        assert set(batch_native) == set(batch_items)
+        for key in batch_items:
+            if key in ("imgname", "dataset_name"):
+                assert batch_native[key] == batch_items[key]
+            elif key == "img":
+                diff = np.abs(
+                    batch_native["img"][:, 2:-2, 2:-2]
+                    - batch_items["img"][:, 2:-2, 2:-2]
+                )
+                assert diff.mean() < 1.0, diff.mean()
+            else:
+                np.testing.assert_allclose(
+                    batch_native[key], batch_items[key], atol=1e-5,
+                    err_msg=key,
+                )
