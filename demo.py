@@ -45,12 +45,21 @@ def build_tester(args):
         )
 
     detector = (
-        hog_person_detector if args.detector == "hog" else full_frame_detector
+        hog_person_detector
+        if args.detector in ("hog", "refine")
+        else full_frame_detector
     )
-    return PocoTester(
+    tester = PocoTester(
         hparams, smpl, variables=variables, detector=detector,
         batch_size=args.batch_size,
     )
+    if args.detector == "refine":
+        # Model-in-the-loop refinement: proposals re-boxed from the
+        # model's predicted keypoints (see tracker.py).
+        tester.detector = tester.make_refined_detector(detector)
+    elif args.detector == "uncert":
+        tester.detector = tester.make_uncert_detector()
+    return tester
 
 
 def run_video(args, tester):
@@ -58,8 +67,22 @@ def run_video(args, tester):
 
     out_dir = args.output_folder
     os.makedirs(out_dir, exist_ok=True)
+    vid_file = args.vid_file
+    if vid_file.startswith(("https://www.youtube.com", "https://youtu.be")):
+        # Reference demo.py:47-55: optional YouTube ingestion.
+        from poco_tpu.utils.demo_utils import download_youtube_clip
+
+        print(f"downloading YouTube video {vid_file}")
+        vid_file = download_youtube_clip(
+            vid_file, osp.join(out_dir, "video_downloads")
+        )
+        if vid_file is None:
+            raise SystemExit(
+                "YouTube download failed (install pytube or yt-dlp, "
+                "and check the url)"
+            )
     img_folder, n_frames, _ = video_to_images(
-        args.vid_file, osp.join(out_dir, "frames"), return_info=True
+        vid_file, osp.join(out_dir, "frames"), return_info=True
     )
     t0 = time.time()
     if args.tracking_method == "pose":
@@ -141,8 +164,16 @@ def main():
     parser.add_argument("--vid_file", default=None)
     parser.add_argument("--image_folder", default="demo_data/images")
     parser.add_argument("--output_folder", default="out/demo")
-    parser.add_argument("--detector", default="full_frame",
-                        choices=["full_frame", "hog"])
+    parser.add_argument(
+        "--detector", default="refine",
+        choices=["full_frame", "hog", "refine", "uncert"],
+        help="refine (default): proposals (HOG when the cv2 build ships "
+             "it, else full-frame) refined by the model's own predicted "
+             "keypoints (pose-tracking-quality boxes); uncert: "
+             "confidence-guided multi-person detection (tiled windows "
+             "scored by predicted uncertainty, no detector weights); "
+             "hog: raw OpenCV HOG+SVM; full_frame: one whole-frame box",
+    )
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--tracker_batch_size", type=int, default=12)
     parser.add_argument("--tracking_method", default="bbox",

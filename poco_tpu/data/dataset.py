@@ -217,11 +217,28 @@ class PocoDataset:
             and self.is_train
             and self.options.get("USE_SYNTHETIC_OCCLUSION")
         ):
-            from .occlusion import occlude_with_objects_kp
+            occ_ds = str(self.options.get("OCC_AUG_DATASET", "pascal"))
+            if occ_ds == "coco":
+                # COCO-statistics occlusion (reference occlusion.py:178-245);
+                # occluders is the stats dict from load_coco_occluders.
+                from .occlusion import occlude_with_coco_objects
 
-            crop = occlude_with_objects_kp(
-                crop, kp2d, scale, self.occluders, self.rng
-            )
+                crop = occlude_with_coco_objects(
+                    crop, kp2d, self.occluders, self.rng,
+                    img_size=self.options["IMG_RES"],
+                )
+            elif occ_ds == "pascal_random":
+                # Non-keypoint paste (occlude_with_pascal_objects,
+                # occlusion.py:152-176).
+                from .occlusion import occlude_with_objects
+
+                crop = occlude_with_objects(crop, self.occluders, self.rng)
+            else:
+                from .occlusion import occlude_with_objects_kp
+
+                crop = occlude_with_objects_kp(
+                    crop, kp2d, scale, self.occluders, self.rng
+                )
 
         return {
             "img": crop,  # (R, R, 3) float32 [0,255]; normalize on device

@@ -91,6 +91,126 @@ def occlude_with_objects_kp(
     return result
 
 
+def occlude_with_objects(
+    im: np.ndarray,
+    occluders: list[np.ndarray],
+    rng: np.random.RandomState,
+) -> np.ndarray:
+    """Paste 1-7 occluders at uniformly random positions (the reference's
+    non-keypoint variant, occlusion.py occlude_with_pascal_objects:152-176)."""
+    result = im.copy()
+    width_height = np.asarray([im.shape[1], im.shape[0]])
+    im_scale_factor = min(width_height) / 256.0
+    count = rng.randint(1, 8)
+    if len(occluders) == 0:
+        return result
+    for _ in range(count):
+        occ = occluders[rng.randint(len(occluders))]
+        center = rng.uniform([0, 0], width_height)
+        factor = rng.uniform(0.2, 1.0) * im_scale_factor + 1e-8
+        occ = resize_by_factor(occ, factor)
+        paste_over(occ, result, center)
+    return result
+
+
+def load_coco_occluders(path: str) -> dict:
+    """Load the COCO occluder archive (reference occlusion.py:100-106).
+
+    The pkl holds {'stats': {joint_name: [(obj_class, h, scale), ...]},
+    'obj_class': array of class names, 'object_with_mask': list of RGBA
+    patches}; per-joint occlusion frequency is derived from stats.
+    """
+    import joblib
+
+    occluders = joblib.load(path)
+    freq = np.array([len(v) for v in occluders["stats"].values()], np.float64)
+    occluders["joint_occ_freq"] = freq / freq.sum()
+    return occluders
+
+
+def occlude_with_coco_objects(
+    im: np.ndarray,
+    kp2d_norm: np.ndarray,
+    occluders: dict,
+    rng: np.random.RandomState,
+    img_size: int = 224,
+    max_n_objects: int = 4,
+) -> np.ndarray:
+    """COCO-statistics occlusion: joints are occluded with the empirical
+    per-joint frequency and class statistics from COCO annotations.
+
+    Reference: occlusion.py occlude_with_coco_objects:178-245.
+    """
+    from ..utils.kp_utils import JOINT_NAME_REGISTRY
+
+    result = im.copy()
+    kp = kp2d_norm[25:].copy()
+    kp[:, :-1] = 0.5 * img_size * (kp[:, :-1] + 1.0)
+    joint_names = JOINT_NAME_REGISTRY["spin"][25:]
+
+    count = rng.randint(0, max_n_objects)
+    if count == 0 or not np.any(kp[:, 2] >= 0.5):
+        return result
+
+    j_occ_prob = np.asarray(occluders["joint_occ_freq"], np.float64).copy()
+    j_occ_prob = j_occ_prob / j_occ_prob.sum()
+    obj_class = np.asarray(occluders["obj_class"])
+
+    for _ in range(count):
+        # rejection-sample a visible joint by occlusion frequency
+        # (reference: multinomial + nonvis retry loop, bounded here)
+        jid = None
+        for _ in range(50):
+            cand = int(rng.multinomial(1, j_occ_prob).argmax())
+            if kp[cand, 2] >= 0.5:
+                jid = cand
+                break
+        if jid is None:
+            continue
+        center = kp[jid, :2]
+        stats = occluders["stats"].get(joint_names[jid], [])
+        if not stats:
+            continue
+        occluder_info = stats[rng.randint(len(stats))]
+        matches = np.argwhere(obj_class == occluder_info[0])
+        if len(matches) == 0:
+            continue
+        occ_id = int(matches[rng.randint(len(matches))][0])
+        mask = occluders["object_with_mask"][occ_id]
+        factor = (
+            1.0 / (mask.shape[0] / img_size) * rng.uniform(0.05, 0.7)
+        )
+        mask = resize_by_factor(mask, factor)
+        paste_over(mask, result, center)
+    return result
+
+
+def synthetic_coco_occluders(n: int = 12, seed: int = 0) -> dict:
+    """A structurally-faithful stand-in for the COCO occluder archive so
+    the COCO path stays exercisable without the license-gated pkl."""
+    from ..utils.kp_utils import JOINT_NAME_REGISTRY
+
+    rng = np.random.RandomState(seed)
+    patches = synthetic_occluders(n=n, seed=seed)
+    classes = np.array([f"class_{i % 4}" for i in range(n)])
+    joint_names = JOINT_NAME_REGISTRY["spin"][25:]
+    stats = {
+        name: [
+            (classes[rng.randint(n)], 64, 2.0)
+            for _ in range(rng.randint(1, 5))
+        ]
+        for name in joint_names
+    }
+    occ = {
+        "stats": stats,
+        "obj_class": classes,
+        "object_with_mask": patches,
+    }
+    freq = np.array([len(v) for v in stats.values()], np.float64)
+    occ["joint_occ_freq"] = freq / freq.sum()
+    return occ
+
+
 def load_pascal_occluders(pascal_voc_root_path: str) -> list[np.ndarray]:
     """Extract segmented non-person occluder patches from a VOC root.
 

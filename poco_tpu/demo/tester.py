@@ -156,6 +156,104 @@ class PocoTester:
             self.detector(cv2.imread(p)[:, :, ::-1]) for p in image_files
         ]
 
+    def infer_keypoints(
+        self, img: np.ndarray, boxes: np.ndarray
+    ) -> np.ndarray:
+        """Predicted 2D keypoints (original-image pixels) for each box —
+        one fused crop+forward dispatch; feeds the model-in-the-loop
+        detector refinement (tracker.make_keypoint_refine_detector)."""
+        dets = np.atleast_2d(np.asarray(boxes, np.float32))
+        centers = dets[:, :2]
+        scales = np.maximum(dets[:, 2], dets[:, 3]) / 200.0
+        n = len(dets)
+        n_pad = -(-n // 8) * 8
+        centers_p = np.concatenate(
+            [centers, np.repeat(centers[-1:], n_pad - n, axis=0)]
+        )
+        scales_p = np.concatenate([scales, np.repeat(scales[-1:], n_pad - n)])
+        h0, w0 = img.shape[:2]
+        bucket_h = -(-h0 // 256) * 256
+        bucket_w = -(-w0 // 256) * 256
+        img_p = np.zeros((bucket_h, bucket_w, 3), img.dtype)
+        img_p[:h0, :w0] = img
+        out = self._detect_forward(
+            self.variables,
+            jnp.asarray(img_p),
+            jnp.asarray([h0, w0], np.float32),
+            jnp.asarray(centers_p),
+            jnp.asarray(scales_p),
+            self.smpl,
+        )
+        j2d = np.asarray(out["smpl_joints2d"])[:n]
+        if "cliff" not in self.backbone:
+            bbox_chw = np.concatenate(
+                [centers, (scales * 200.0)[:, None]], axis=1
+            )
+            j2d = convert_crop_coords_to_orig_img(bbox_chw, j2d, IMG_RES)
+        return j2d
+
+    def make_refined_detector(self, base: Detector | None = None, iters: int = 1):
+        """Proposals (default: the current detector) refined by the
+        model's own predicted keypoints — the quality default when a
+        trained checkpoint is loaded."""
+        from .tracker import make_keypoint_refine_detector
+
+        return make_keypoint_refine_detector(
+            base or self.detector, self.infer_keypoints, iters=iters
+        )
+
+    def infer_keypoints_with_uncert(
+        self, img: np.ndarray, boxes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Keypoints + per-box global uncertainty for the
+        confidence-guided window detector (tracker.py)."""
+        dets = np.atleast_2d(np.asarray(boxes, np.float32))
+        centers = dets[:, :2]
+        scales = np.maximum(dets[:, 2], dets[:, 3]) / 200.0
+        n = len(dets)
+        n_pad = -(-n // 8) * 8
+        centers_p = np.concatenate(
+            [centers, np.repeat(centers[-1:], n_pad - n, axis=0)]
+        )
+        scales_p = np.concatenate([scales, np.repeat(scales[-1:], n_pad - n)])
+        h0, w0 = img.shape[:2]
+        bucket_h = -(-h0 // 256) * 256
+        bucket_w = -(-w0 // 256) * 256
+        img_p = np.zeros((bucket_h, bucket_w, 3), img.dtype)
+        img_p[:h0, :w0] = img
+        out_dev = self._detect_forward(
+            self.variables,
+            jnp.asarray(img_p),
+            jnp.asarray([h0, w0], np.float32),
+            jnp.asarray(centers_p),
+            jnp.asarray(scales_p),
+            self.smpl,
+        )
+        out = {
+            k: np.asarray(v)[:n]
+            for k, v in out_dev.items()
+            if v is not None and hasattr(v, "shape")
+        }
+        j2d = out["smpl_joints2d"]
+        if "cliff" not in self.backbone:
+            bbox_chw = np.concatenate(
+                [centers, (scales * 200.0)[:, None]], axis=1
+            )
+            j2d = convert_crop_coords_to_orig_img(bbox_chw, j2d, IMG_RES)
+        _, gvar = self._prep_uncert(out)
+        if gvar is None:
+            gvar = np.zeros(n, np.float32)
+        return j2d, gvar
+
+    def make_uncert_detector(self, **kwargs):
+        """Confidence-guided multi-person detector (no external weights):
+        tiled proposals -> keypoint boxes -> uncertainty-scored NMS."""
+        from .tracker import make_uncert_window_detector
+
+        return make_uncert_window_detector(
+            self.infer_keypoints_with_uncert, **kwargs
+        )
+
     def run_on_image_folder(
         self,
         image_folder: str,

@@ -31,7 +31,14 @@ def full_frame_detector(img: np.ndarray) -> np.ndarray:
 
 
 def hog_person_detector(img: np.ndarray) -> np.ndarray:
-    """Pure-OpenCV person detector (HOG+SVM) — dependency-free default."""
+    """Pure-OpenCV person detector (HOG+SVM) when the build ships it.
+
+    OpenCV 5 dropped HOGDescriptor from the default build — fall back to
+    the full-frame proposal there (the keypoint-refine wrapper then
+    recovers a tight person box from the model's own predictions).
+    """
+    if not hasattr(cv2, "HOGDescriptor"):
+        return full_frame_detector(img)
     hog = cv2.HOGDescriptor()
     hog.setSVMDetector(cv2.HOGDescriptor_getDefaultPeopleDetector())
     rects, _ = hog.detectMultiScale(
@@ -44,6 +51,148 @@ def hog_person_detector(img: np.ndarray) -> np.ndarray:
     for x, y, w, h in rects:
         boxes.append([x + w / 2.0, y + h / 2.0, w * 1.2, h * 1.1])
     return np.asarray(boxes, np.float32)
+
+
+def tiled_window_proposals(
+    img: np.ndarray,
+    scales: tuple[float, ...] = (0.9, 0.55),
+    stride_frac: float = 0.5,
+    max_windows: int = 24,
+) -> np.ndarray:
+    """Multi-scale tiled square window proposals (detector-free).
+
+    Feeds the confidence-guided detector below when no learned person
+    detector is available.
+    """
+    h, w = img.shape[:2]
+    boxes = []
+    for s in scales:
+        size = min(h, w) * s
+        step = max(size * stride_frac, 1.0)
+        ys = np.arange(size / 2, h - size / 2 + 1e-6, step)
+        xs = np.arange(size / 2, w - size / 2 + 1e-6, step)
+        if len(ys) == 0:
+            ys = np.array([h / 2.0])
+        if len(xs) == 0:
+            xs = np.array([w / 2.0])
+        for cy in ys:
+            for cx in xs:
+                boxes.append([cx, cy, size, size])
+    boxes = np.asarray(boxes, np.float32)
+    return boxes[:max_windows]
+
+
+def nms_cxcywh(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.45
+) -> np.ndarray:
+    """Greedy non-max suppression; returns kept indices (desc score)."""
+    order = np.argsort(-scores)
+    keep = []
+    for i in order:
+        if any(_iou(boxes[i], boxes[j]) > iou_threshold for j in keep):
+            continue
+        keep.append(int(i))
+    return np.asarray(keep, np.int64)
+
+
+def make_uncert_window_detector(
+    infer_keypoints_with_uncert,
+    scales: tuple[float, ...] = (0.9, 0.55),
+    max_people: int = 6,
+    uncert_quantile: float = 0.5,
+) -> Detector:
+    """Confidence-guided multi-person detection — POCO's own uncertainty
+    as the person/no-person score, no external detector weights needed.
+
+    Tiled window proposals are refined to keypoint-derived boxes by the
+    pose model; windows whose predicted global uncertainty falls in the
+    worst `uncert_quantile` are dropped, the rest deduped by IoU NMS.
+    Quality tracks the trained checkpoint's confidence calibration (the
+    paper's confident-frame selection, applied spatially).
+
+    Args:
+        infer_keypoints_with_uncert: (img, boxes) -> (kps (N, J, 2+),
+            uncert (N,)) — PocoTester.infer_keypoints_with_uncert.
+    """
+
+    def detect(img: np.ndarray) -> np.ndarray:
+        proposals = tiled_window_proposals(img, scales=scales)
+        kps, uncert = infer_keypoints_with_uncert(img, proposals)
+        refined, scores = [], []
+        for bi in range(len(proposals)):
+            bb = bbox_from_kp2d(np.asarray(kps[bi]))
+            if bb[2] < 8 or bb[3] < 8 or not np.isfinite(bb).all():
+                continue
+            refined.append(bb)
+            scores.append(-float(uncert[bi]))
+        if not refined:
+            return full_frame_detector(img)
+        refined = np.stack(refined)
+        scores = np.asarray(scores, np.float32)
+        cutoff = np.quantile(scores, uncert_quantile)
+        ok = scores >= cutoff
+        refined, scores = refined[ok], scores[ok]
+        keep = nms_cxcywh(refined, scores)[:max_people]
+        return refined[keep]
+
+    return detect
+
+
+def bbox_from_kp2d(kp2d: np.ndarray) -> np.ndarray:
+    """(J, 2+) keypoints in image pixels -> (4,) cxcywh square bbox.
+
+    Reference: vibe_image_utils.get_bbox_from_kp2d:310-328 — tight bound,
+    squared to max(w, h), scaled 1.1x.
+    """
+    ul = kp2d[:, :2].min(axis=0)
+    lr = kp2d[:, :2].max(axis=0)
+    w, h = lr - ul
+    c = ul + np.array([w, h]) / 2.0
+    size = max(w, h) * 1.1
+    return np.array([c[0], c[1], size, size], np.float32)
+
+
+def make_keypoint_refine_detector(
+    base: Detector,
+    infer_keypoints,
+    iters: int = 1,
+) -> Detector:
+    """Model-in-the-loop detector: proposals from `base` are refined by
+    running the pose model and re-deriving the bbox from the predicted
+    2D keypoints — the pose-tracking-quality default (the same bbox
+    derivation the reference uses for `--tracking_method pose`,
+    inference.py:58-67), without needing an external keypoint binary.
+
+    Args:
+        base: proposal detector (e.g. hog_person_detector).
+        infer_keypoints: (img RGB, boxes (N,4) cxcywh) -> (N, J, 2+)
+            predicted 2D keypoints in ORIGINAL-image pixels (the
+            tester's fused crop+forward provides this).
+        iters: refinement rounds.
+    """
+
+    def detect(img: np.ndarray) -> np.ndarray:
+        boxes = np.atleast_2d(np.asarray(base(img), np.float32))
+        if boxes.size == 0:
+            return boxes.reshape(0, 4)
+        h, w = img.shape[:2]
+        for _ in range(iters):
+            kps = infer_keypoints(img, boxes)
+            refined = []
+            for bi in range(len(boxes)):
+                bb = bbox_from_kp2d(np.asarray(kps[bi]))
+                # clamp center into the frame; keep the proposal if the
+                # model's keypoints collapsed (degenerate box)
+                if bb[2] < 8 or bb[3] < 8 or not np.isfinite(bb).all():
+                    refined.append(boxes[bi])
+                    continue
+                bb[0] = np.clip(bb[0], 0, w)
+                bb[1] = np.clip(bb[1], 0, h)
+                refined.append(bb)
+            boxes = np.stack(refined)
+        return boxes
+
+    return detect
 
 
 def _iou(a: np.ndarray, b: np.ndarray) -> float:

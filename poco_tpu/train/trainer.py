@@ -145,16 +145,26 @@ class Trainer:
         self._global_step = 0
         self._topk: list[tuple[float, str]] = []
 
-        # Optional TensorBoard logging (reference PREF_LOGGER
-        # "tensorboard", train.py:63-77) alongside the JSONL stream.
+        # Logger list (reference train.py:63-77 builds [tensorboard,
+        # comet]; the comet slot ships commented out there). Backends
+        # here: "tensorboard" and a dependency-free "csv" scalar logger,
+        # both alongside the always-on JSONL stream — e.g.
+        # PREF_LOGGER: "tensorboard,csv".
+        pref = str(hparams.get("PREF_LOGGER", ""))
         self._tb = None
-        if "tensorboard" in str(hparams.get("PREF_LOGGER", "")):
+        if "tensorboard" in pref:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self._tb = SummaryWriter(log_dir=self.logdir)
             except Exception:
                 self._tb = None
+        self._csv = None
+        if "csv" in pref:
+            self._csv = open(
+                os.path.join(self.logdir, "metrics.csv"), "a", buffering=1
+            )
+            self._csv_keys: list[str] | None = None
 
         from .state import count_params
 
@@ -260,6 +270,19 @@ class Trainer:
             for k, v in record.items():
                 if isinstance(v, (int, float)) and k not in ("time", "epoch", "step"):
                     self._tb.add_scalar(k, v, step)
+        if getattr(self, "_csv", None) is not None:
+            step = getattr(self, "_global_step", 0)
+            scalars = {
+                k: v for k, v in record.items()
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+            }
+            if self._csv_keys is None:
+                self._csv_keys = ["global_step"] + sorted(scalars)
+                self._csv.write(",".join(self._csv_keys) + "\n")
+            row = [str(step)] + [
+                str(scalars.get(k, "")) for k in self._csv_keys[1:]
+            ]
+            self._csv.write(",".join(row) + "\n")
 
     def _device_batch(self, host_batch: dict) -> dict:
         p = self.hparams.POCO

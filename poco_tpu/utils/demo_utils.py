@@ -21,6 +21,40 @@ def _has_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def download_youtube_clip(url: str, download_folder: str) -> str | None:
+    """Download a YouTube video for the video demo.
+
+    Reference contract: demo_utils.py:86-88 (pytube). Tries pytube if
+    installed, then the yt-dlp binary; returns the downloaded file path
+    or None when neither backend is available / the download fails.
+    """
+    import shutil
+
+    os.makedirs(download_folder, exist_ok=True)
+    try:
+        from pytube import YouTube  # optional dependency
+
+        stream = YouTube(url).streams.get_highest_resolution()
+        return stream.download(output_path=download_folder)
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    if shutil.which("yt-dlp"):
+        out_tpl = osp.join(download_folder, "%(id)s.%(ext)s")
+        try:
+            r = subprocess.run(
+                ["yt-dlp", "-f", "best[ext=mp4]/best", "-o", out_tpl,
+                 "--print", "after_move:filepath", url],
+                capture_output=True, text=True, check=True,
+            )
+            path = r.stdout.strip().splitlines()[-1]
+            return path if osp.exists(path) else None
+        except (subprocess.CalledProcessError, IndexError):
+            return None
+    return None
+
+
 def video_to_images(
     vid_file: str, img_folder: str | None = None, return_info: bool = False
 ):

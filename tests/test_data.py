@@ -223,6 +223,55 @@ class TestOcclusion:
         assert out.shape == img.shape
         assert not np.allclose(out, img)  # something was pasted
 
+    def test_occlude_random_position(self):
+        """Non-keypoint paste variant (reference occlusion.py:152-176)."""
+        from poco_tpu.data.occlusion import occlude_with_objects
+
+        rng = np.random.RandomState(0)
+        img = np.full((224, 224, 3), 100.0, np.float32)
+        out = occlude_with_objects(img, synthetic_occluders(4, seed=1), rng)
+        assert out.shape == img.shape
+        assert not np.allclose(out, img)
+
+    def test_occlude_with_coco_stats(self):
+        """COCO-statistics variant (reference occlusion.py:178-245):
+        joint picked by occlusion frequency, occluder by class stats."""
+        from poco_tpu.data.occlusion import (
+            occlude_with_coco_objects,
+            synthetic_coco_occluders,
+        )
+
+        rng = np.random.RandomState(1)
+        img = np.full((224, 224, 3), 100.0, np.float32)
+        kp = np.zeros((49, 3), np.float32)
+        kp[25:, 2] = 1.0  # all GT joints visible, at crop center
+        occ = synthetic_coco_occluders(n=8, seed=2)
+        changed = False
+        for seed in range(5):  # count can draw 0; try a few seeds
+            out = occlude_with_coco_objects(
+                img, kp, occ, np.random.RandomState(seed)
+            )
+            assert out.shape == img.shape
+            changed = changed or not np.allclose(out, img)
+        assert changed
+
+    def test_coco_occluders_roundtrip(self, tmp_path):
+        """load_coco_occluders reads the reference pkl contract."""
+        import joblib
+
+        from poco_tpu.data.occlusion import (
+            load_coco_occluders,
+            synthetic_coco_occluders,
+        )
+
+        occ = synthetic_coco_occluders(n=4, seed=0)
+        occ.pop("joint_occ_freq")
+        p = tmp_path / "coco_occluders.pkl"
+        joblib.dump(occ, p)
+        loaded = load_coco_occluders(str(p))
+        assert "joint_occ_freq" in loaded
+        np.testing.assert_allclose(loaded["joint_occ_freq"].sum(), 1.0)
+
 
 class TestEvalTimeAugmentation:
     def test_test_rot_scale_applied(self, tiny_dataset):

@@ -241,6 +241,80 @@ class TestTesterFolder:
         assert np.all(np.isfinite(person["verts"]))
 
 
+class TestKeypointRefineDetector:
+    def test_bbox_from_kp2d_square_and_padded(self):
+        from poco_tpu.demo.tracker import bbox_from_kp2d
+
+        kp = np.array([[10.0, 20.0], [50.0, 100.0]])
+        bb = bbox_from_kp2d(kp)
+        np.testing.assert_allclose(bb[:2], [30.0, 60.0])
+        assert bb[2] == bb[3] == pytest.approx(80.0 * 1.1)
+
+    def test_refine_uses_model_keypoints(self):
+        """Proposals get replaced by keypoint-derived boxes; degenerate
+        keypoint sets keep the proposal."""
+        from poco_tpu.demo.tracker import make_keypoint_refine_detector
+
+        base = lambda img: np.array(
+            [[100.0, 100.0, 180.0, 180.0], [30.0, 30.0, 50.0, 50.0]],
+            np.float32,
+        )
+
+        def fake_kp(img, boxes):
+            out = []
+            for b in boxes:
+                if b[0] > 50:  # person found near first proposal
+                    out.append(
+                        np.array([[80.0, 60.0], [120.0, 160.0]], np.float32)
+                    )
+                else:  # collapsed keypoints -> keep proposal
+                    out.append(np.zeros((2, 2), np.float32))
+            return out
+
+        det = make_keypoint_refine_detector(base, fake_kp)
+        img = np.zeros((200, 200, 3), np.uint8)
+        boxes = det(img)
+        assert boxes.shape == (2, 4)
+        np.testing.assert_allclose(boxes[0][:2], [100.0, 110.0])
+        assert boxes[0][2] == pytest.approx(100.0 * 1.1)
+        np.testing.assert_allclose(boxes[1], base(img)[1])
+
+    def test_tester_refined_detector_end_to_end(self, frame_folder):
+        tester = _tiny_tester()
+        refined = tester.make_refined_detector()
+        img = cv2.imread(
+            os.path.join(frame_folder, sorted(os.listdir(frame_folder))[0])
+        )[:, :, ::-1]
+        boxes = refined(img)
+        assert boxes.ndim == 2 and boxes.shape[1] == 4
+        assert np.isfinite(boxes).all()
+
+    def test_tester_uncert_detector_end_to_end(self, frame_folder):
+        tester = _tiny_tester()
+        det = tester.make_uncert_detector(max_people=3)
+        img = cv2.imread(
+            os.path.join(frame_folder, sorted(os.listdir(frame_folder))[0])
+        )[:, :, ::-1]
+        boxes = det(img)
+        assert boxes.ndim == 2 and boxes.shape[1] == 4
+        assert 1 <= len(boxes) <= 3
+        assert np.isfinite(boxes).all()
+
+    def test_window_proposals_and_nms(self):
+        from poco_tpu.demo.tracker import nms_cxcywh, tiled_window_proposals
+
+        img = np.zeros((240, 320, 3), np.uint8)
+        props = tiled_window_proposals(img)
+        assert props.ndim == 2 and props.shape[1] == 4
+        assert (props[:, 2] > 0).all()
+        boxes = np.array(
+            [[50, 50, 40, 40], [52, 52, 40, 40], [150, 150, 40, 40]],
+            np.float32,
+        )
+        keep = nms_cxcywh(boxes, np.array([0.9, 0.8, 0.7]))
+        assert list(keep) == [0, 2]
+
+
 class TestVideoIO:
     def test_video_roundtrip_cv2(self, tmp_path):
         """video_to_images / images_to_video with the cv2 fallback."""
