@@ -18,12 +18,13 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 BATCH = int(os.environ.get("POCO_BENCH_BATCH", "128"))
 ITERS = int(os.environ.get("POCO_BENCH_ITERS", "20"))

@@ -23,6 +23,10 @@ import time
 def build_tester(args):
     import jax
 
+    from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from poco_tpu.config import update_hparams
     from poco_tpu.demo.tester import PocoTester
     from poco_tpu.demo.tracker import full_frame_detector, hog_person_detector

@@ -29,6 +29,10 @@ def main():
 
     import jax
 
+    from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from poco_tpu.config import model_config_from_hparams, update_hparams
     from poco_tpu.data.dataset import PocoDataset
     from poco_tpu.eval.runner import pw3d_split_report, run_eval

@@ -174,18 +174,17 @@ class Trainer:
         if os.path.isdir(path):
             import orbax.checkpoint as ocp
 
+            # Template-free restore: warm starts must tolerate payload
+            # layout differences across versions (e.g. checkpoints that
+            # do or don't carry opt_state).
             ckptr = ocp.StandardCheckpointer()
-            template = {
-                "params": variables["params"],
-                "batch_stats": variables.get("batch_stats"),
-                "buffers": variables.get("buffers"),
-                "step": jnp.zeros((), jnp.int32),
-            }
-            restored = ckptr.restore(os.path.abspath(path), template)
+            restored = ckptr.restore(os.path.abspath(path))
             out = dict(variables)
             for key in ("params", "batch_stats", "buffers"):
                 if restored.get(key) is not None:
-                    out[key] = restored[key]
+                    out[key] = jax.tree.map(
+                        jnp.asarray, restored[key]
+                    )
             self._log({"event": "warm_start", "path": path, "kind": "orbax"})
             return out
         from ..utils.checkpoint_convert import (

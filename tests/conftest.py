@@ -17,11 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent compilation cache: the big-model tests compile once per
-# machine, not once per pytest invocation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the big-model tests compile once per
+# machine, not once per pytest invocation. Must be set programmatically —
+# this jax version ignores the JAX_COMPILATION_CACHE_DIR env var.
+from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+enable_compilation_cache()

@@ -182,6 +182,57 @@ class TestFullWidthCliff:
         _assert_close("log_phi", out["log_phi"], flow_out["log_phi"], atol=2e-2)
 
 
+class TestFullWidthPareHeatmapModes:
+    """Head-only full-width parity for the PARE heatmap variants the
+    composed test doesn't cover: hm (hard argmax), hm_soft, and
+    part_segm_pool (reference pare_head.py:781-826, 935-960)."""
+
+    @pytest.mark.parametrize("mode", ["hm", "hm_soft", "part_segm_pool"])
+    def test_pare_head_mode_parity(self, ref, mode):
+        from poco_tpu.models.heads.pare import PareHead
+
+        torch.manual_seed(40 + len(mode))
+        head = ref.pare_head(480, "", "sigmoid", use_heatmaps=mode)
+        head.eval()
+        randomize_bn_stats(head, seed=41)
+        gen = torch.Generator().manual_seed(42)
+        feats = torch.randn(BATCH, 480, 56, 56, generator=gen)
+        from .ref_torch import calibrate_bn as _cal
+
+        _cal(head, feats)
+        with torch.no_grad():
+            out_ref = head(feats)
+
+        sd = {f"head.{k}": v for k, v in head.state_dict().items()}
+        conv = convert_state_dict(sd, head_type="pare")
+        assert not conv["unmatched"], conv["unmatched"]
+
+        flax_head = PareHead(
+            num_input_features=480, uncert_layer="", use_heatmaps=mode
+        )
+        x = jnp.asarray(feats.numpy().transpose(0, 2, 3, 1))
+        variables = flax_head.init(jax.random.PRNGKey(0), x)
+        merged, stats = merge_converted(
+            variables, {k: v.get("head", {}) if isinstance(v, dict) else v
+                        for k, v in conv.items()}
+        )
+        assert stats["skipped"] == 0, stats
+        out = jax.jit(lambda v, a: flax_head.apply(v, a))(merged, x)
+
+        _assert_close(
+            f"{mode} pred_pose", out["pred_pose"], out_ref["pred_pose"],
+            atol=2e-3,
+        )
+        _assert_close(
+            f"{mode} pred_shape", out["pred_shape"], out_ref["pred_shape"],
+            atol=2e-3,
+        )
+        _assert_close(
+            f"{mode} pred_cam", out["pred_cam"], out_ref["pred_cam"],
+            atol=2e-3,
+        )
+
+
 class TestFullWidthPare:
     """hrnet_w32 + pare_head + poco_head(feat-pose) + nf_head(3 layers)."""
 

@@ -28,6 +28,10 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import orbax.checkpoint as ocp
 
     from poco_tpu.config import model_config_from_hparams, update_hparams

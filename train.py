@@ -85,6 +85,9 @@ def main():
         return
 
     from poco_tpu.config import run_grid_search_experiments
+    from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from poco_tpu.data.dataset import PocoDataset
     from poco_tpu.smpl.assets import resolve_smpl_params
     from poco_tpu.train.trainer import Trainer
