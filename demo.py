@@ -53,6 +53,24 @@ def build_tester(args):
         if args.detector in ("hog", "refine")
         else full_frame_detector
     )
+    if args.detector == "yolo":
+        from poco_tpu.demo.yolo import make_yolo_detector
+
+        yolo = make_yolo_detector(
+            args.yolo_weights,
+            img_size=args.yolo_img_size,
+            batch_size=args.tracker_batch_size,
+        )
+        if yolo is None:
+            print(
+                "yolov3.weights not found (--yolo_weights / "
+                "$POCO_TPU_YOLO_WEIGHTS / data/detector/) — falling back "
+                "to --detector refine"
+            )
+            args.detector = "refine"
+            detector = hog_person_detector
+        else:
+            detector = yolo
     tester = PocoTester(
         hparams, smpl, variables=variables, detector=detector,
         batch_size=args.batch_size,
@@ -170,14 +188,24 @@ def main():
     parser.add_argument("--output_folder", default="out/demo")
     parser.add_argument(
         "--detector", default="refine",
-        choices=["full_frame", "hog", "refine", "uncert"],
-        help="refine (default): proposals (HOG when the cv2 build ships "
-             "it, else full-frame) refined by the model's own predicted "
-             "keypoints (pose-tracking-quality boxes); uncert: "
-             "confidence-guided multi-person detection (tiled windows "
-             "scored by predicted uncertainty, no detector weights); "
-             "hog: raw OpenCV HOG+SVM; full_frame: one whole-frame box",
+        choices=["yolo", "full_frame", "hog", "refine", "uncert"],
+        help="yolo: TPU-native YOLOv3 (needs the pretrained "
+             "yolov3.weights file — the reference's detector, "
+             "tester.py:113-151); refine (default): proposals (HOG when "
+             "the cv2 build ships it, else full-frame) refined by the "
+             "model's own predicted keypoints (pose-tracking-quality "
+             "boxes); uncert: confidence-guided multi-person detection "
+             "(tiled windows scored by predicted uncertainty, no "
+             "detector weights); hog: raw OpenCV HOG+SVM; full_frame: "
+             "one whole-frame box",
     )
+    parser.add_argument(
+        "--yolo_weights", default=None,
+        help="path to Darknet yolov3.weights (default: "
+             "$POCO_TPU_YOLO_WEIGHTS or data/detector/yolov3.weights)",
+    )
+    parser.add_argument("--yolo_img_size", type=int, default=416,
+                        help="input image size for the yolo detector")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--tracker_batch_size", type=int, default=12)
     parser.add_argument("--tracking_method", default="bbox",

@@ -459,6 +459,9 @@ class Trainer:
             path = os.path.join(self.logdir, worst)
             if os.path.exists(path):
                 shutil.rmtree(path, ignore_errors=True)
+            # the host-side trainer-state sidecar rides along
+            if os.path.exists(path + ".trainer.json"):
+                os.remove(path + ".trainer.json")
 
     def _dump_results(self, result, epoch: int) -> None:
         """Per-sample eval dump (reference save_results.py:45-93)."""

@@ -586,9 +586,18 @@ class TestTopKRetention:
         for epoch, metric in enumerate([50.0, 40.0, 60.0, 30.0]):
             trainer._retain_top_k(epoch, metric, k=2)
         kept = sorted(
-            d for d in os.listdir(h.LOG_DIR) if d.startswith("epoch_")
+            d for d in os.listdir(h.LOG_DIR)
+            if d.startswith("epoch_")
+            and os.path.isdir(os.path.join(h.LOG_DIR, d))
         )
         assert kept == ["epoch_001", "epoch_003"]  # the two best metrics
+        # pruned checkpoints take their trainer-state sidecars with them
+        sidecars = sorted(
+            d for d in os.listdir(h.LOG_DIR) if d.endswith(".trainer.json")
+        )
+        assert sidecars == [
+            "epoch_001.trainer.json", "epoch_003.trainer.json",
+        ]
 
 
 class TestSpinMethodTraining:

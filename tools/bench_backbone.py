@@ -1,17 +1,25 @@
-"""Stage-level timing attribution for the HRNet-W48 backbone on TPU.
+"""Stage-level timing attribution for the HRNet backbones on TPU.
 
 The backbone is ~100% of POCO-CLIFF inference cost (BENCHMARKS.md); this
-script times each architectural region as its own jitted program with
-representative input shapes (batch 128 bf16, chained-dispatch protocol —
-see bench.py for why) so conv-level tuning targets the real hot spots.
+script times each architectural region so conv-level tuning targets the
+real hot spots.
 
-Usage: python tools/bench_backbone.py [--batch 128] [--iters 10]
-Prints one line per region + the full-model reference time.
+Measurement design for the axon tunnel (one ~25-30 ms round trip per
+dispatch, async execution): each region is wrapped in a `lax.scan` that
+re-applies the module N times with a tiny feedback term (x + 1e-12 *
+probe(out)) so XLA cannot dead-code the loop, and the per-iteration cost
+is the SLOPE between two scan lengths — fixed dispatch/fetch overhead
+cancels exactly. Params are passed as arguments (never closed over:
+embedded-constant HLO blows the tunnel's remote_compile size limit).
+
+Usage: python tools/bench_backbone.py [--batch 128] [--width 48]
+Prints per-region ms + crops/s + XLA cost-analysis FLOPs/bytes.
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -27,37 +35,63 @@ from poco_tpu.utils.comp_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+N_LO, N_HI = 4, 24  # scan lengths; slope = (t_hi - t_lo) / (N_HI - N_LO)
 
-def chained_time(fn, args, iters: int, n_chain_outputs=1) -> float:
-    """Best-of-3 per-iteration time via dependency-chained dispatches."""
 
-    def run(n):
-        a = list(args)
-        out = None
-        for _ in range(n):
-            out = fn(*a)
-            probe = jax.tree_util.tree_leaves(out)[0]
-            a[0] = a[0] + 0.0 * probe.reshape(-1)[0].astype(a[0].dtype)
-        return float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
+def make_repeat(module, n: int):
+    """Jitted program applying `module` n times with value feedback."""
 
-    run(2)  # compile + warm
+    def step(variables, xs):
+        ys = module.apply(variables, *xs)
+        leaves = jax.tree_util.tree_leaves(ys)
+        probe = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+        probe = (1e-12 * probe).astype(xs[0].dtype)
+        return tuple(x + probe for x in xs)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def repeat(variables, xs, n):
+        def body(carry, _):
+            return step(variables, carry), ()
+
+        out, _ = jax.lax.scan(body, xs, None, length=n)
+        return out[0].reshape(-1)[0]
+
+    return lambda variables, xs: repeat(variables, xs, n)
+
+
+def timed(fn, variables, xs, reps: int = 3) -> float:
+    fn(variables, xs).block_until_ready()  # compile
     best = 1e9
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        run(1)
-        dt1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(iters)
-        dtn = time.perf_counter() - t0
-        best = min(best, max(dtn - dt1, 1e-9) / max(iters - 1, 1))
+        float(np.asarray(fn(variables, xs)))  # host fetch awaits execution
+        best = min(best, time.perf_counter() - t0)
     return best
+
+
+def region_cost(module, variables, xs) -> tuple[float, float]:
+    """(TFLOP, GB) per application from XLA cost analysis."""
+    try:
+        lowered = jax.jit(
+            lambda v, inp: module.apply(v, *inp)
+        ).lower(variables, xs)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return (
+            cost.get("flops", 0.0) / 1e12,
+            cost.get("bytes accessed", 0.0) / 1e9,
+        )
+    except Exception:
+        return 0.0, 0.0
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--width", type=int, default=48)
+    ap.add_argument("--costs", action="store_true",
+                    help="also print XLA cost analysis per region")
     args = ap.parse_args()
     B, w = args.batch, args.width
     dtype = jnp.bfloat16
@@ -78,14 +112,18 @@ def main():
             y = conv(64, 3, 2, name="conv1", dtype=dtype)(x)
             y = nn.relu(batch_norm(False, name="bn1", dtype=dtype)(y))
             y = conv(64, 3, 2, name="conv2", dtype=dtype)(y)
-            return nn.relu(batch_norm(False, name="bn2", dtype=dtype)(y))
+            y = nn.relu(batch_norm(False, name="bn2", dtype=dtype)(y))
+            # project back to the input shape so the repeat-scan can chain
+            y = jax.image.resize(y, (y.shape[0], 224, 224, 3), "nearest")
+            return y
 
     class Layer1(nn.Module):
         @nn.compact
         def __call__(self, x):
-            return ResLayer(Bottleneck, 64, 4, name="layer1", dtype=dtype)(
+            y = ResLayer(Bottleneck, 64, 4, name="layer1", dtype=dtype)(
                 x, False
             )
+            return y[..., :64]  # chainable shape
 
     def stage_module(n_branches, chans, n_modules):
         class Stage(nn.Module):
@@ -101,25 +139,17 @@ def main():
 
         return Stage()
 
-    class ClsHead(nn.Module):
-        @nn.compact
-        def __call__(self, *xs):
-            net = HRNet(variant="cls", width=w, dtype=dtype)
-            # reuse the real head implementation via a bound module
-            return net._cls_head.__wrapped__(net, list(xs), False) \
-                if hasattr(net._cls_head, "__wrapped__") else None
-
     regions = []
 
     x_img = jnp.asarray(np.random.randn(B, 224, 224, 3), dtype)
     stem = Stem()
-    v = stem.init(rng, x_img)
-    regions.append(("stem (224->56, 64ch)", stem, v, (x_img,)))
+    regions.append(("stem (224->56, 64ch)", stem, stem.init(rng, x_img), (x_img,)))
 
     x56_64 = jnp.asarray(np.random.randn(B, 56, 56, 64), dtype)
     l1 = Layer1()
-    v1 = l1.init(rng, x56_64)
-    regions.append(("layer1 (Bottleneck x4, 56x56x256)", l1, v1, (x56_64,)))
+    regions.append(
+        ("layer1 (Bottleneck x4, 56x56x256)", l1, l1.init(rng, x56_64), (x56_64,))
+    )
 
     def binputs(n):
         shapes = [(56, w), (28, 2 * w), (14, 4 * w), (7, 8 * w)][:n]
@@ -139,29 +169,39 @@ def main():
     xs4 = binputs(4)
     regions.append(("stage4 (3 modules, 4 br)", s4, s4.init(rng, *xs4), xs4))
 
-    # cls head timed as part of full minus sum of stages (composition is
-    # awkward to isolate through the shared HRNet module).
-
     total = 0.0
     for name, mod, variables, inputs in regions:
-        f = jax.jit(lambda v_, *a, m=mod: m.apply(v_, *a))
-
-        def fn(x0, *rest):
-            return f(variables, x0, *rest)
-
-        t = chained_time(fn, list(inputs), args.iters)
+        lo = timed(make_repeat(mod, N_LO), variables, inputs)
+        hi = timed(make_repeat(mod, N_HI), variables, inputs)
+        t = max(hi - lo, 1e-9) / (N_HI - N_LO)
         total += t
-        print(f"{name:40s} {t * 1e3:8.2f} ms  ({B / t:8.0f} crops/s)")
+        line = f"{name:38s} {t * 1e3:8.2f} ms  ({B / t:9.0f} crops/s)"
+        if args.costs:
+            tf, gb = region_cost(mod, variables, inputs)
+            if tf:
+                line += (
+                    f"  {tf:6.3f} TFLOP {gb:6.2f} GB"
+                    f"  -> {tf / t:6.1f} TF/s {gb / t:6.0f} GB/s"
+                )
+        print(line, flush=True)
 
-    # full model reference
-    full = HRNet(variant="cls", width=w, dtype=dtype)
-    vf = jax.jit(lambda r: full.init(r, x_img[:1]))(rng)
-    ff = jax.jit(lambda x: full.apply(vf, x))
-    t_full = chained_time(ff, [x_img], args.iters)
-    print(f"{'FULL hrnet_w%d_cls' % w:40s} {t_full * 1e3:8.2f} ms  "
-          f"({B / t_full:8.0f} crops/s)")
-    print(f"{'sum of stages (- cls head)':40s} {total * 1e3:8.2f} ms")
-    print(f"{'cls head (residual)':40s} {(t_full - total) * 1e3:8.2f} ms")
+    # full model reference (params as args; slope protocol)
+    class Full(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = HRNet(variant="cls", width=w, dtype=dtype, name="net")(x)
+            # chainable: broadcast the pooled vector back onto the image
+            return x + jnp.mean(y).astype(x.dtype)[None, None, None, None] * 1e-12
+
+    full = Full()
+    vf = full.init(rng, x_img[:1])
+    lo = timed(make_repeat(full, N_LO), vf, (x_img,))
+    hi = timed(make_repeat(full, N_HI), vf, (x_img,))
+    t_full = max(hi - lo, 1e-9) / (N_HI - N_LO)
+    print(f"{'FULL hrnet_w%d_cls' % w:38s} {t_full * 1e3:8.2f} ms  "
+          f"({B / t_full:9.0f} crops/s)")
+    print(f"{'sum of regions (- cls head)':38s} {total * 1e3:8.2f} ms")
+    print(f"{'cls head + misc (residual)':38s} {(t_full - total) * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
