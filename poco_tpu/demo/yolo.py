@@ -277,6 +277,7 @@ class YoloDetector:
         batch_size: int = 12,
         width: int = 32,
         num_classes: int = 80,
+        pre_nms_topk: int = 200,
         dtype: Any = jnp.float32,
     ):
         if img_size % 32 != 0:
@@ -285,6 +286,7 @@ class YoloDetector:
         self.conf_threshold = conf_threshold
         self.nms_threshold = nms_threshold
         self.batch_size = batch_size
+        self.pre_nms_topk = pre_nms_topk  # cap the O(n^2) host NMS
         self.model = YoloV3(width=width, num_classes=num_classes, dtype=dtype)
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), dummy)
@@ -336,6 +338,10 @@ class YoloDetector:
                 if bx.size == 0:
                     out.append(np.zeros((0, 4), np.float32))
                     continue
+                if len(sc) > self.pre_nms_topk:
+                    top = np.argpartition(-sc, self.pre_nms_topk)
+                    top = top[: self.pre_nms_topk]
+                    bx, sc = bx[top], sc[top]
                 bx[:, 0] = (bx[:, 0] - px) / scale
                 bx[:, 1] = (bx[:, 1] - py) / scale
                 bx[:, 2:] /= scale

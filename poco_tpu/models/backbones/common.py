@@ -15,10 +15,130 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch(0.1)
+
+LANE = 128  # TPU vector lane width / MXU tile edge
+
+
+def lane_pad_target(c: int) -> int:
+    """Channel count the TPU conv path wants for a 3x3 conv stack.
+
+    Empirical (BENCHMARKS.md, round 2): 3x3 convs whose channel count is
+    above one lane tile but not a multiple of 128 hit a slow XLA conv
+    path on v5e — measured 64-72 TF/s for 14x14x192 ResLayers vs
+    >200 TF/s effective after zero-padding the same stack to 256
+    channels (1.85x faster wall time despite 78% more FLOPs). Channel
+    counts at or below 128 are packed well already (48ch: 99 TF/s) and
+    padding them costs more FLOPs than it recovers.
+    """
+    if c > LANE and c % LANE != 0:
+        return ((c + LANE - 1) // LANE) * LANE
+    return c
+
+
+def _pad_last(x: jnp.ndarray, target: int, value: float = 0.0) -> jnp.ndarray:
+    pad = target - x.shape[-1]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths, constant_values=value)
+
+
+class LaneConv(nn.Module):
+    """3x3/1x1 conv with LOGICAL param shapes but lane-padded compute.
+
+    The kernel parameter keeps the checkpoint-compatible logical shape
+    (k, k, in_features, features); at apply time it is zero-padded to
+    (k, k, pad_in, pad_out) and applied to an already channel-padded
+    input. Zero padding is mathematically exact: padded input channels
+    are zero and padded output channels produce zero.
+    """
+
+    features: int          # logical output channels
+    in_features: int       # logical input channels
+    kernel: int
+    stride: int = 1
+    pad_in: int | None = None
+    pad_out: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features),
+            jnp.float32,
+        )
+        pad_in = self.pad_in or self.in_features
+        pad_out = self.pad_out or self.features
+        if xp.shape[-1] != pad_in:
+            raise ValueError(
+                f"LaneConv expected padded input {pad_in}, got {xp.shape}"
+            )
+        kp = jnp.zeros((k, k, pad_in, pad_out), jnp.float32)
+        kp = kp.at[:, :, : self.in_features, : self.features].set(kernel)
+        p = (k - 1) // 2
+        return jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            kp.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class LaneBatchNorm(nn.Module):
+    """BatchNorm with LOGICAL param/stat shapes over lane-padded input.
+
+    scale pads with 1, bias/mean with 0, var with 1, so padded (zero)
+    channels stay exactly zero in both eval and train modes; running
+    stats are updated from the logical slice only.
+    """
+
+    features: int
+    momentum: float = BN_MOMENTUM
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool) -> jnp.ndarray:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        cp = xp.shape[-1]
+        if train:
+            x32 = xp.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.var(x32, axis=(0, 1, 2))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean[:c]
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * var[:c]
+                )
+        else:
+            mean = _pad_last(ra_mean.value, cp, 0.0)
+            var = _pad_last(ra_var.value, cp, 1.0)
+        scale_p = _pad_last(scale, cp, 1.0)
+        bias_p = _pad_last(bias, cp, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale_p
+        y = (xp.astype(jnp.float32) - mean) * inv + bias_p
+        return y.astype(self.dtype)
 
 
 def conv(
@@ -54,17 +174,38 @@ def batch_norm(train: bool, name: str | None = None, dtype: Any = jnp.float32) -
 
 
 class BasicBlock(nn.Module):
-    """3x3 + 3x3 residual block (expansion 1)."""
+    """3x3 + 3x3 residual block (expansion 1).
+
+    With `lane_pad` set (a padded channel count > filters), the block
+    expects/returns lane-padded activations and runs its convs/BNs in
+    padded space while the PARAMETERS keep logical shapes — exact math,
+    faster TPU conv path (see lane_pad_target).
+    """
 
     filters: int
     stride: int = 1
     has_downsample: bool = False
+    lane_pad: int | None = None
     dtype: Any = jnp.float32
 
     expansion = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.lane_pad and self.lane_pad != self.filters:
+            if self.stride != 1 or self.has_downsample:
+                raise ValueError("lane_pad requires a plain residual block")
+            f, p = self.filters, self.lane_pad
+            y = LaneConv(
+                f, f, 3, pad_in=p, pad_out=p, name="conv1", dtype=self.dtype
+            )(x)
+            y = LaneBatchNorm(f, name="bn1", dtype=self.dtype)(y, train)
+            y = nn.relu(y)
+            y = LaneConv(
+                f, f, 3, pad_in=p, pad_out=p, name="conv2", dtype=self.dtype
+            )(y)
+            y = LaneBatchNorm(f, name="bn2", dtype=self.dtype)(y, train)
+            return nn.relu(y + x)
         residual = x
         y = conv(self.filters, 3, self.stride, name="conv1", dtype=self.dtype)(x)
         y = batch_norm(train, name="bn1", dtype=self.dtype)(y)
@@ -178,6 +319,7 @@ class ResLayer(nn.Module):
     in_channels: int | None = None
     groups: int = 1
     base_width: int = 64
+    lane_pad: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -189,6 +331,21 @@ class ResLayer(nn.Module):
             else {}
         )
         needs_ds = self.stride != 1 or x.shape[-1] != self.filters * expansion
+        target = lane_pad_target(self.filters)
+        if (
+            self.lane_pad
+            and self.block is BasicBlock
+            and target != self.filters
+            and not needs_ds
+        ):
+            # pad once at entry, run all blocks padded, slice at exit
+            xp = _pad_last(x, target)
+            for i in range(self.num_blocks):
+                xp = BasicBlock(
+                    self.filters, lane_pad=target,
+                    name=str(i), dtype=self.dtype,
+                )(xp, train)
+            return xp[..., : self.filters]
         y = self.block(
             self.filters,
             stride=self.stride,

@@ -49,6 +49,7 @@ class HRModule(nn.Module):
     num_branches: int
     channels: Sequence[int]
     multi_scale_output: bool = True
+    lane_pad: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,6 +57,7 @@ class HRModule(nn.Module):
         ys = [
             ResLayer(
                 BasicBlock, self.channels[b], STAGE_BLOCKS,
+                lane_pad=self.lane_pad,
                 name=f"branch{b}", dtype=self.dtype,
             )(xs[b], train)
             for b in range(self.num_branches)
@@ -112,11 +114,24 @@ class HRNet(nn.Module):
     width: int = 48
     use_conv: bool = True
     downsample: bool = False
+    # lane-pad non-128-multiple branch channel counts (w48's 192ch branch)
+    # inside the branch ResLayers — exact math modulo float reordering
+    # (~1e-3 rel through the full net), measured ~1.8x faster for that
+    # branch on v5e (see common.lane_pad_target / BENCHMARKS.md).
+    # None (default) = enabled for bf16 compute, where reorder noise is
+    # far below the bf16 floor; fp32 keeps the canonical op order so the
+    # parity/golden gates measure the reference-exact program.
+    lane_pad: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         w = self.width
+        lane_pad = (
+            self.lane_pad
+            if self.lane_pad is not None
+            else self.dtype == jnp.bfloat16
+        )
         stage_channels = {
             2: [w, 2 * w],
             3: [w, 2 * w, 4 * w],
@@ -178,6 +193,7 @@ class HRNet(nn.Module):
                     num_branches=len(chans),
                     channels=chans,
                     multi_scale_output=True,
+                    lane_pad=lane_pad,
                     name=f"stage{stage}_{m}",
                     dtype=self.dtype,
                 )(xs, train)

@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--width", type=int, default=48)
     ap.add_argument("--costs", action="store_true",
                     help="also print XLA cost analysis per region")
+    ap.add_argument("--branches", action="store_true",
+                    help="microbench one ResLayer(BasicBlock x4) per "
+                         "branch shape + the stage4 fusion ladder alone")
     args = ap.parse_args()
     B, w = args.batch, args.width
     dtype = jnp.bfloat16
@@ -113,9 +116,10 @@ def main():
             y = nn.relu(batch_norm(False, name="bn1", dtype=dtype)(y))
             y = conv(64, 3, 2, name="conv2", dtype=dtype)(y)
             y = nn.relu(batch_norm(False, name="bn2", dtype=dtype)(y))
-            # project back to the input shape so the repeat-scan can chain
-            y = jax.image.resize(y, (y.shape[0], 224, 224, 3), "nearest")
-            return y
+            # cheap shape projection so the repeat-scan can chain:
+            # slice 3 channels and tile 4x spatially (pure data movement)
+            y = y[..., :3]
+            return jnp.tile(y, (1, 4, 4, 1))
 
     class Layer1(nn.Module):
         @nn.compact
@@ -138,6 +142,36 @@ def main():
                 return tuple(xs)
 
         return Stage()
+
+    if args.branches:
+        from poco_tpu.models.backbones.common import BasicBlock
+
+        class Branch(nn.Module):
+            ch: int
+
+            @nn.compact
+            def __call__(self, x):
+                return ResLayer(
+                    BasicBlock, self.ch, 4, name="br", dtype=dtype
+                )(x, False)
+
+        for bi, (s, c) in enumerate(
+            [(56, w), (28, 2 * w), (14, 4 * w), (7, 8 * w)]
+        ):
+            xb = jnp.asarray(np.random.randn(B, s, s, c), dtype)
+            m = Branch(ch=c)
+            v = m.init(rng, xb)
+            lo = timed(make_repeat(m, N_LO), v, (xb,))
+            hi = timed(make_repeat(m, N_HI), v, (xb,))
+            t = max(hi - lo, 1e-9) / (N_HI - N_LO)
+            tf, gb = region_cost(m, v, (xb,))
+            print(
+                f"branch{bi} ResLayer 4xBasic {s}x{s}x{c:4d} "
+                f"{t * 1e3:8.2f} ms  {tf:6.3f} TFLOP {gb:5.2f} GB "
+                f"-> {tf / t:6.1f} TF/s {gb / t:6.0f} GB/s",
+                flush=True,
+            )
+        return
 
     regions = []
 
