@@ -152,6 +152,9 @@ class PocoTester:
     # ------------------------------------------------------------------
     def run_detector(self, image_files: list[str]) -> list[np.ndarray]:
         """Per-image detections (reference tester.py:140-151)."""
+        if hasattr(self.detector, "detect_batch"):
+            imgs = [cv2.imread(p)[:, :, ::-1] for p in image_files]
+            return self.detector.detect_batch(imgs)
         return [
             self.detector(cv2.imread(p)[:, :, ::-1]) for p in image_files
         ]

@@ -286,10 +286,16 @@ def run_tracking(
     Mirrors POCOTester.run_tracking (tester.py:113-138) including the
     minimum tracklet length filter.
     """
-    dets = []
-    for path in image_files:
-        img = cv2.imread(path)[:, :, ::-1]
-        dets.append(detector(img))
+    if hasattr(detector, "detect_batch"):
+        # batched device detector (e.g. YoloDetector): one jitted
+        # program per tracker batch instead of one dispatch per frame
+        imgs = [cv2.imread(p)[:, :, ::-1] for p in image_files]
+        dets = detector.detect_batch(imgs)
+    else:
+        dets = []
+        for path in image_files:
+            img = cv2.imread(path)[:, :, ::-1]
+            dets.append(detector(img))
     tracks = IouTracker().track(dets)
     return {
         tid: tr for tid, tr in tracks.items()
