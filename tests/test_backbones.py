@@ -256,3 +256,34 @@ class TestLanePadding:
             jax.tree_util.tree_leaves(v32), jax.tree_util.tree_leaves(vbf)
         ):
             assert a.shape == b.shape and a.dtype == b.dtype
+
+    def test_gradients_match_plain_path(self):
+        import numpy as np
+
+        from poco_tpu.models.backbones.common import BasicBlock, ResLayer
+
+        c = 192
+        x = jnp.asarray(
+            np.random.RandomState(6).randn(2, 4, 4, c), jnp.float32
+        )
+        plain = ResLayer(BasicBlock, c, 1, lane_pad=False)
+        padded = ResLayer(BasicBlock, c, 1, lane_pad=True)
+        v = plain.init(jax.random.PRNGKey(7), x)
+
+        def loss(params, model):
+            out = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out ** 2)
+
+        g_plain = jax.grad(loss)(v["params"], plain)
+        g_padded = jax.grad(loss)(v["params"], padded)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_plain),
+            jax.tree_util.tree_leaves(g_padded),
+        ):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
+            )
