@@ -33,6 +33,9 @@ def build_tester(args):
     from poco_tpu.smpl.assets import resolve_smpl_params
 
     hparams = update_hparams(args.cfg)
+    # Reference tester.py:59: the demo forces KINEMATIC_UNCERT from the
+    # --no_kinematic_uncert store_false flag (True unless the flag given).
+    hparams.POCO.KINEMATIC_UNCERT = bool(args.no_kinematic_uncert)
     smpl = resolve_smpl_params(args.smpl_dir, "neutral")
 
     variables = None
@@ -132,11 +135,14 @@ def run_video(args, tester):
             wireframe=args.wireframe,
             uncert_log=osp.join(out_dir, "uncertainty.log"),
         )
+        tag = f"_{args.exp}" if args.exp else ""
         images_to_video(
             render_dir,
             osp.join(
                 out_dir,
-                osp.basename(args.vid_file).replace(".mp4", "_poco.mp4"),
+                osp.basename(args.vid_file).replace(
+                    ".mp4", f"{tag}_poco.mp4"
+                ),
             ),
         )
 
@@ -151,6 +157,9 @@ def run_folder(args, tester):
         save_obj=args.save_obj,
         uncert_color=not args.no_uncert_color,
         draw_keypoints=args.draw_keypoints,
+        skip_frame=args.skip_frame,
+        render_crop=args.render_crop,
+        display=args.display,
     )
     n = sum(len(r.get("bboxes", [])) for r in results)
     print(f"poco FPS: {n / max(time.time() - t0, 1e-9):.2f} ({n} crops)")
@@ -208,6 +217,19 @@ def main():
                         help="input image size for the yolo detector")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--tracker_batch_size", type=int, default=12)
+    parser.add_argument("--exp", default="",
+                        help="short experiment tag appended to output "
+                             "names (reference demo.py:60-87)")
+    parser.add_argument("--skip_frame", type=int, default=1,
+                        help="process every Nth image in folder mode")
+    parser.add_argument(
+        "--no_kinematic_uncert", action="store_false",
+        help="disable kinematic-chain uncertainty accumulation (matches "
+             "the reference quirk: the demo forces KINEMATIC_UNCERT on "
+             "unless this flag is given, tester.py:59)",
+    )
+    parser.add_argument("--display", action="store_true",
+                        help="show rendered frames in a cv2 window")
     parser.add_argument("--tracking_method", default="bbox",
                         choices=["bbox", "pose"])
     parser.add_argument("--staf_dir", default=None,
@@ -218,6 +240,9 @@ def main():
     parser.add_argument("--beta", type=float, default=0.7)
     # rendering
     parser.add_argument("--no_render", action="store_true")
+    parser.add_argument("--render_crop", action="store_true",
+                        help="render the overlay on the 224px crop "
+                             "instead of the original frame")
     parser.add_argument("--no_uncert_color", action="store_true")
     parser.add_argument("--sideview", action="store_true")
     parser.add_argument("--wireframe", action="store_true")
@@ -227,6 +252,11 @@ def main():
     parser.add_argument("--dir_chunk_size", type=int, default=-1)
     parser.add_argument("--dir_chunk", type=int, default=0)
     args = parser.parse_args()
+    if args.exp:
+        # reference demo.py:60-87: experiment tag folds into output paths
+        args.output_folder = os.path.join(
+            args.output_folder.rstrip("/") + "_" + args.exp
+        )
 
     if args.mode == "webcam":
         raise NotImplementedError(

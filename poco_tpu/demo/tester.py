@@ -91,6 +91,12 @@ class PocoTester:
         self.renderer = Renderer(np.asarray(smpl.faces))
         self.backbone = self.model.cfg.backbone
         self.loss_ver = self.model.cfg.loss_ver
+        # Kinematic-chain uncertainty accumulation for rendering/logs
+        # (reference tester.py:59 forces it from --no_kinematic_uncert).
+        try:
+            self.kinematic_uncert = bool(hparams.POCO.KINEMATIC_UNCERT)
+        except Exception:
+            self.kinematic_uncert = False
 
         model = self.model
 
@@ -144,10 +150,24 @@ class PocoTester:
     def _prep_uncert(self, out: dict) -> tuple[np.ndarray | None, np.ndarray | None]:
         if "var_pose" not in out:
             return None, None
-        var = prepare_uncert(out["var_pose"], loss_ver=self.loss_ver)
+        var = prepare_uncert(
+            out["var_pose"], loss_ver=self.loss_ver,
+            kinematic=self.kinematic_uncert,
+        )
         var = np.clip(var, 0.0, 1.0)
         gvar = global_uncert(var.copy(), backbone=self.backbone)
         return var, gvar
+
+    def _display_frame(self, frame: np.ndarray) -> None:
+        """Show a rendered frame (reference tester.py:352, --display);
+        no-op with a one-time notice when no GUI backend is available."""
+        try:
+            cv2.imshow("poco", frame[:, :, ::-1])
+            cv2.waitKey(1)
+        except cv2.error:
+            if not getattr(self, "_display_warned", False):
+                print("--display requested but no GUI backend; skipping")
+                self._display_warned = True
 
     # ------------------------------------------------------------------
     def run_detector(self, image_files: list[str]) -> list[np.ndarray]:
@@ -267,14 +287,21 @@ class PocoTester:
         save_obj: bool = False,
         uncert_color: bool = True,
         draw_keypoints: bool = False,
+        skip_frame: int = 1,
+        render_crop: bool = False,
+        display: bool = False,
     ) -> list[dict[str, Any]]:
         """Folder demo (reference tester.py:153-360).
 
         For each image: detect people, run the fused crop->forward XLA
         program over all detections at once, convert cameras/keypoints to
-        original-image coords, optionally render overlays.
+        original-image coords, optionally render overlays. skip_frame=N
+        processes every Nth image (tester.py:167); render_crop renders
+        onto the 224px crop with the crop camera instead of the original
+        frame (tester.py:256-280); display shows each rendered frame in
+        a cv2 window when a GUI is available (tester.py:352).
         """
-        image_files = images_in_folder(image_folder)
+        image_files = images_in_folder(image_folder)[:: max(skip_frame, 1)]
         if detections is None:
             detections = self.run_detector(image_files)
         if output_folder:
@@ -364,7 +391,14 @@ class PocoTester:
             results.append(result)
 
             if render and output_folder:
-                frame = img.copy()
+                if render_crop:
+                    # reference tester.py:256-280: overlay on the 224px
+                    # crop of the first detection, crop-space camera
+                    from ..data.transforms import crop_image
+
+                    frame = crop_image(img, centers[0], scales[0])
+                else:
+                    frame = img.copy()
                 for pi in range(n):
                     vc = None
                     if uncert_color and var is not None:
@@ -374,9 +408,12 @@ class PocoTester:
                             backbone=self.backbone,
                         )
                     frame = self.renderer.render(
-                        frame, result["verts"][pi], orig_cam[pi],
+                        frame, result["verts"][pi],
+                        out["pred_cam"][pi] if render_crop else orig_cam[pi],
                         vertex_colors=vc,
                     )
+                    if render_crop:
+                        break  # one crop = one person overlay
                     if save_obj:
                         from ..viz.renderer import save_obj as _save_obj
 
@@ -394,6 +431,8 @@ class PocoTester:
                     )
                 out_path = osp.join(output_folder, osp.basename(img_path))
                 cv2.imwrite(out_path, frame[:, :, ::-1])
+                if display:
+                    self._display_frame(frame)
                 if sideview and n > 0:
                     side = self.renderer.render_sideview(
                         result["verts"][0], orig_cam[0]

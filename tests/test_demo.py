@@ -389,3 +389,33 @@ class TestVideoChunking:
 
         assert split_into_chunks([0, 1], seqlen=8, stride=4) == [(0, 2)]
         assert split_into_chunks([], seqlen=8, stride=4) == []
+
+
+class TestFolderFlags:
+    def test_skip_frame_and_render_crop(self, frame_folder, tmp_path):
+        tester = _tiny_tester()
+        out_dir = str(tmp_path / "out_crop")
+        results = tester.run_on_image_folder(
+            frame_folder, output_folder=out_dir, render=True,
+            skip_frame=2, render_crop=True,
+        )
+        assert len(results) == 2  # every 2nd of 4 frames
+        rendered = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+        assert len(rendered) == 2
+        # render_crop output is the 224px crop, not the 120x160 original
+        img = cv2.imread(os.path.join(out_dir, rendered[0]))
+        assert img.shape[:2] == (224, 224)
+
+    def test_kinematic_uncert_from_hparams(self):
+        from poco_tpu.eval.uncertainty import kinematic_uncert
+
+        tester = _tiny_tester()
+        assert tester.kinematic_uncert is False
+        tester.kinematic_uncert = True
+        var = np.abs(np.random.RandomState(0).rand(2, 24, 3, 3)) * 0.1
+        v_kin, _ = tester._prep_uncert({"var_pose": var})
+        tester.kinematic_uncert = False
+        v_plain, _ = tester._prep_uncert({"var_pose": var})
+        # kinematic accumulation can only increase (pre-clip) uncertainty
+        assert (v_kin >= v_plain - 1e-7).all()
+        assert v_kin.sum() > v_plain.sum()
