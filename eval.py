@@ -18,6 +18,9 @@ import os
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", required=True)
+    parser.add_argument("--cfg_id", type=int, default=0,
+                        help="experiment id within a grid-search config "
+                             "(reference eval.py:41-44)")
     parser.add_argument("--ckpt", default=None,
                         help="orbax checkpoint dir or torch .pt file")
     parser.add_argument("--dataset", default=None)
@@ -39,7 +42,15 @@ def main():
     from poco_tpu.models.poco import POCO, init_poco
     from poco_tpu.smpl.assets import resolve_smpl_params
 
-    hparams = update_hparams(args.cfg)
+    if args.cfg_id:
+        # grid-search config: pick one experiment, no logdir side effects
+        from poco_tpu.config import run_grid_search_experiments
+
+        hparams = run_grid_search_experiments(
+            args.cfg, cfg_id=args.cfg_id, log=False
+        )
+    else:
+        hparams = update_hparams(args.cfg)
     if args.data_dir:
         hparams.DATASET.DATA_DIR = args.data_dir
     ds_name = args.dataset or hparams.DATASET.VAL_DS
