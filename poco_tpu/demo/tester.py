@@ -122,6 +122,25 @@ class PocoTester:
 
         self._detect_forward = _detect_forward
 
+        # Frame-batched variant: M same-size frames x B boxes in ONE
+        # dispatch (vmap the fused crop over frames, flatten crops into
+        # the model batch). Batches the per-frame refine/tracking cost
+        # the way the reference batches its detector (MPT batch_size).
+        @jax.jit
+        def _detect_forward_frames(
+            variables, images, true_hw, centers, scales, smpl_params
+        ):
+            def prep(im, c, s):
+                return preprocess_crops(im, c, s, true_hw=true_hw)
+
+            batch = jax.vmap(prep)(images, centers, scales)
+            flat = jax.tree_util.tree_map(
+                lambda v: v.reshape((-1,) + v.shape[2:]), batch
+            )
+            return model.apply(variables, flat, smpl_params, train=False)
+
+        self._detect_forward_frames = _detect_forward_frames
+
     # ------------------------------------------------------------------
     def _run_batches(self, batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         """Forward a host batch in fixed-size padded chunks."""
@@ -215,6 +234,69 @@ class PocoTester:
             j2d = convert_crop_coords_to_orig_img(bbox_chw, j2d, IMG_RES)
         return j2d
 
+    def infer_keypoints_batch(
+        self,
+        imgs: list[np.ndarray],
+        boxes_list: list[np.ndarray],
+        frames_per_dispatch: int = 8,
+    ) -> list[np.ndarray]:
+        """infer_keypoints over many same-size frames, batched on device.
+
+        Returns one (n_i, J, 2) array per frame. Frames must share one
+        shape (video frames do); per-frame box counts are padded to a
+        common width and frame chunks to `frames_per_dispatch` so every
+        chunk reuses a single compiled program.
+        """
+        M = len(imgs)
+        h0, w0 = imgs[0].shape[:2]
+        bucket_h = -(-h0 // 256) * 256
+        bucket_w = -(-w0 // 256) * 256
+        counts = [len(np.atleast_2d(b)) for b in boxes_list]
+        B = max(1, -(-max(counts) // 4) * 4)
+
+        centers = np.zeros((M, B, 2), np.float32)
+        scales = np.full((M, B), 1.0, np.float32)
+        for i, b in enumerate(boxes_list):
+            b = np.atleast_2d(np.asarray(b, np.float32))
+            n = len(b)
+            idx = np.minimum(np.arange(B), n - 1)
+            centers[i] = b[idx, :2]
+            scales[i] = np.maximum(b[idx, 2], b[idx, 3]) / 200.0
+
+        out_j2d = []
+        F = frames_per_dispatch
+        for start in range(0, M, F):
+            sel = list(range(start, min(start + F, M)))
+            pad_sel = sel + [sel[-1]] * (F - len(sel))
+            stack = np.zeros((F, bucket_h, bucket_w, 3), imgs[0].dtype)
+            for k, fi in enumerate(pad_sel):
+                stack[k, :h0, :w0] = imgs[fi]
+            out = self._detect_forward_frames(
+                self.variables,
+                jnp.asarray(stack),
+                jnp.asarray([h0, w0], np.float32),
+                jnp.asarray(centers[pad_sel]),
+                jnp.asarray(scales[pad_sel]),
+                self.smpl,
+            )
+            j2d = np.asarray(out["smpl_joints2d"])
+            j2d = j2d.reshape(F, B, *j2d.shape[1:])
+            for k, fi in enumerate(sel):
+                ji = j2d[k, : counts[fi]]
+                if "cliff" not in self.backbone:
+                    b = np.atleast_2d(
+                        np.asarray(boxes_list[fi], np.float32)
+                    )
+                    bbox_chw = np.concatenate(
+                        [b[:, :2], np.maximum(b[:, 2], b[:, 3])[:, None]],
+                        axis=1,
+                    )
+                    ji = convert_crop_coords_to_orig_img(
+                        bbox_chw, ji, IMG_RES
+                    )
+                out_j2d.append(ji)
+        return out_j2d
+
     def make_refined_detector(self, base: Detector | None = None, iters: int = 1):
         """Proposals (default: the current detector) refined by the
         model's own predicted keypoints — the quality default when a
@@ -222,7 +304,8 @@ class PocoTester:
         from .tracker import make_keypoint_refine_detector
 
         return make_keypoint_refine_detector(
-            base or self.detector, self.infer_keypoints, iters=iters
+            base or self.detector, self.infer_keypoints, iters=iters,
+            infer_keypoints_batch=self.infer_keypoints_batch,
         )
 
     def infer_keypoints_with_uncert(

@@ -156,6 +156,7 @@ def make_keypoint_refine_detector(
     base: Detector,
     infer_keypoints,
     iters: int = 1,
+    infer_keypoints_batch=None,
 ) -> Detector:
     """Model-in-the-loop detector: proposals from `base` are refined by
     running the pose model and re-deriving the bbox from the predicted
@@ -191,6 +192,40 @@ def make_keypoint_refine_detector(
                 refined.append(bb)
             boxes = np.stack(refined)
         return boxes
+
+    if infer_keypoints_batch is not None:
+        def detect_batch(imgs: list[np.ndarray]) -> list[np.ndarray]:
+            """Refine proposals for many frames with batched device
+            dispatches (tester.infer_keypoints_batch); falls back to
+            per-frame when frame sizes differ."""
+            if len({im.shape for im in imgs}) != 1:
+                return [detect(im) for im in imgs]
+            boxes_list = [
+                np.atleast_2d(np.asarray(base(im), np.float32))
+                for im in imgs
+            ]
+            h, w = imgs[0].shape[:2]
+            for _ in range(iters):
+                kps = infer_keypoints_batch(imgs, boxes_list)
+                nxt = []
+                for bi, (boxes, kp) in enumerate(zip(boxes_list, kps)):
+                    refined = []
+                    for di in range(len(boxes)):
+                        bb = bbox_from_kp2d(np.asarray(kp[di]))
+                        if (
+                            bb[2] < 8 or bb[3] < 8
+                            or not np.isfinite(bb).all()
+                        ):
+                            refined.append(boxes[di])
+                            continue
+                        bb[0] = np.clip(bb[0], 0, w)
+                        bb[1] = np.clip(bb[1], 0, h)
+                        refined.append(bb)
+                    nxt.append(np.stack(refined))
+                boxes_list = nxt
+            return boxes_list
+
+        detect.detect_batch = detect_batch
 
     return detect
 

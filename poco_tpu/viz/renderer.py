@@ -39,6 +39,15 @@ def get_mesh_color(name: str) -> tuple:
     return MESH_COLORS.get(name, MESH_COLORS["light_pink"])
 
 
+def _native_raster() -> bool:
+    try:
+        from ..runtime.raster import native_available
+
+        return native_available()
+    except Exception:
+        return False
+
+
 def jet_colormap(x: np.ndarray) -> np.ndarray:
     """Matplotlib-'jet'-style colormap, x in [0,1] -> RGB in [0,1]."""
     x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
@@ -180,17 +189,27 @@ class Renderer:
             ).copy()
         face_rgb = np.clip(face_rgb * light[:, None], 0, 1) * 255.0
 
-        order = np.argsort(tri_z)  # far (small z, away from cam) first
         overlay = out.copy()
-        for fi in order:
-            if not on_screen[fi]:
-                continue
-            pts = np.round(tri_uv[fi]).astype(np.int32)
-            col = face_rgb[fi].tolist()
-            if wireframe:
-                cv2.polylines(overlay, [pts], True, col, 1, cv2.LINE_AA)
-            else:
-                cv2.fillPoly(overlay, [pts], col)
+        if not wireframe and _native_raster():
+            # native z-buffer rasterizer (runtime/poco_raster.cpp):
+            # ~two orders of magnitude faster than the per-face
+            # cv2.fillPoly painter's loop, same flat-shading semantics
+            from ..runtime.raster import raster_mesh
+
+            overlay = raster_mesh(
+                overlay, uv, tri_z, self.faces, face_rgb, on_screen
+            )
+        else:
+            order = np.argsort(tri_z)  # far (away from cam) first
+            for fi in order:
+                if not on_screen[fi]:
+                    continue
+                pts = np.round(tri_uv[fi]).astype(np.int32)
+                col = face_rgb[fi].tolist()
+                if wireframe:
+                    cv2.polylines(overlay, [pts], True, col, 1, cv2.LINE_AA)
+                else:
+                    cv2.fillPoly(overlay, [pts], col)
         out = (1 - alpha) * out + alpha * overlay
         return np.clip(out, 0, 255).astype(np.uint8)
 

@@ -419,3 +419,82 @@ class TestFolderFlags:
         # kinematic accumulation can only increase (pre-clip) uncertainty
         assert (v_kin >= v_plain - 1e-7).all()
         assert v_kin.sum() > v_plain.sum()
+
+
+class TestNativeRaster:
+    def _sphere(self, n=40):
+        phi = np.linspace(0, np.pi, n)
+        theta = np.linspace(0, 2 * np.pi, n)
+        P, T = np.meshgrid(phi, theta, indexing="ij")
+        verts = np.stack(
+            [np.sin(P) * np.cos(T), np.sin(P) * np.sin(T), np.cos(P)], -1
+        ).reshape(-1, 3) * 0.8
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a = i * n + j
+                faces.append([a, a + 1, a + n])
+                faces.append([a + 1, a + n + 1, a + n])
+        return verts.astype(np.float32), np.asarray(faces, np.int64)
+
+    def test_matches_python_painter(self, monkeypatch):
+        from poco_tpu.runtime.raster import native_available
+        from poco_tpu.viz.renderer import Renderer
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        verts, faces = self._sphere()
+        r = Renderer(faces)
+        img = (np.random.RandomState(3).rand(192, 256, 3) * 255).astype(
+            np.uint8
+        )
+        cam = np.array([0.8, 0.8, 0.0, 0.0], np.float32)
+        out_fast = r.render(img, verts, cam)
+
+        import poco_tpu.runtime.raster as rr
+
+        monkeypatch.setenv("POCO_TPU_NATIVE_RASTER", "0")
+        monkeypatch.setattr(rr, "_LIB", None)
+        out_slow = r.render(img, verts, cam)
+
+        # identical up to triangle-edge pixels (different fill
+        # conventions): a small fraction of pixels may differ
+        diff = (
+            np.abs(out_fast.astype(np.int32) - out_slow.astype(np.int32))
+            .max(-1) > 8
+        )
+        assert diff.mean() < 0.03
+        # and the mesh is actually drawn
+        changed = (
+            np.abs(out_slow.astype(np.int32) - img.astype(np.int32))
+            .max(-1) > 8
+        )
+        assert changed.mean() > 0.1
+
+
+class TestBatchedRefineDetector:
+    def test_detect_batch_matches_per_frame(self, frame_folder):
+        """The frame-batched refine path produces the same boxes as the
+        per-frame path on identical frames (real tiny model)."""
+        import glob
+
+        tester = _tiny_tester()
+        det = tester.make_refined_detector()
+        assert hasattr(det, "detect_batch")
+        frames = [
+            cv2.imread(p)[:, :, ::-1]
+            for p in sorted(glob.glob(os.path.join(frame_folder, "*.png")))
+        ]
+        batched = det.detect_batch(frames)
+        single = [det(im) for im in frames]
+        assert len(batched) == len(single) == len(frames)
+        for b, s in zip(batched, single):
+            np.testing.assert_allclose(b, s, atol=1e-3)
+
+    def test_run_tracking_uses_batch_path(self, frame_folder):
+        tester = _tiny_tester()
+        tester.detector = tester.make_refined_detector()
+        tracks = tester.run_tracking(frame_folder)
+        assert len(tracks) >= 1
+        for tr in tracks.values():
+            assert tr["bbox"].shape[1] == 4
