@@ -239,10 +239,12 @@ class PocoTester:
         imgs: list[np.ndarray],
         boxes_list: list[np.ndarray],
         frames_per_dispatch: int = 8,
-    ) -> list[np.ndarray]:
+        return_uncert: bool = False,
+    ) -> list[np.ndarray] | tuple[list[np.ndarray], list[np.ndarray]]:
         """infer_keypoints over many same-size frames, batched on device.
 
-        Returns one (n_i, J, 2) array per frame. Frames must share one
+        Returns one (n_i, J, 2) array per frame (plus one (n_i,) global
+        uncertainty per frame when return_uncert). Frames must share one
         shape (video frames do); per-frame box counts are padded to a
         common width and frame chunks to `frames_per_dispatch` so every
         chunk reuses a single compiled program.
@@ -264,6 +266,7 @@ class PocoTester:
             scales[i] = np.maximum(b[idx, 2], b[idx, 3]) / 200.0
 
         out_j2d = []
+        out_gvar = []
         F = frames_per_dispatch
         for start in range(0, M, F):
             sel = list(range(start, min(start + F, M)))
@@ -281,6 +284,17 @@ class PocoTester:
             )
             j2d = np.asarray(out["smpl_joints2d"])
             j2d = j2d.reshape(F, B, *j2d.shape[1:])
+            gvar = None
+            if return_uncert:
+                _, gflat = self._prep_uncert(
+                    {k: np.asarray(v) for k, v in out.items()
+                     if k == "var_pose" and v is not None}
+                )
+                gvar = (
+                    gflat.reshape(F, B)
+                    if gflat is not None
+                    else np.zeros((F, B), np.float32)
+                )
             for k, fi in enumerate(sel):
                 ji = j2d[k, : counts[fi]]
                 if "cliff" not in self.backbone:
@@ -295,6 +309,10 @@ class PocoTester:
                         bbox_chw, ji, IMG_RES
                     )
                 out_j2d.append(ji)
+                if return_uncert:
+                    out_gvar.append(gvar[k, : counts[fi]])
+        if return_uncert:
+            return out_j2d, out_gvar
         return out_j2d
 
     def make_refined_detector(self, base: Detector | None = None, iters: int = 1):
@@ -357,7 +375,8 @@ class PocoTester:
         from .tracker import make_uncert_window_detector
 
         return make_uncert_window_detector(
-            self.infer_keypoints_with_uncert, **kwargs
+            self.infer_keypoints_with_uncert,
+            infer_batch=self.infer_keypoints_batch, **kwargs
         )
 
     def run_on_image_folder(

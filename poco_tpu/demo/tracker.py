@@ -100,6 +100,7 @@ def make_uncert_window_detector(
     scales: tuple[float, ...] = (0.9, 0.55),
     max_people: int = 6,
     uncert_quantile: float = 0.5,
+    infer_batch=None,
 ) -> Detector:
     """Confidence-guided multi-person detection — POCO's own uncertainty
     as the person/no-person score, no external detector weights needed.
@@ -115,11 +116,9 @@ def make_uncert_window_detector(
             uncert (N,)) — PocoTester.infer_keypoints_with_uncert.
     """
 
-    def detect(img: np.ndarray) -> np.ndarray:
-        proposals = tiled_window_proposals(img, scales=scales)
-        kps, uncert = infer_keypoints_with_uncert(img, proposals)
+    def _postprocess(img, kps, uncert):
         refined, scores = [], []
-        for bi in range(len(proposals)):
+        for bi in range(len(kps)):
             bb = bbox_from_kp2d(np.asarray(kps[bi]))
             if bb[2] < 8 or bb[3] < 8 or not np.isfinite(bb).all():
                 continue
@@ -134,6 +133,29 @@ def make_uncert_window_detector(
         refined, scores = refined[ok], scores[ok]
         keep = nms_cxcywh(refined, scores)[:max_people]
         return refined[keep]
+
+    def detect(img: np.ndarray) -> np.ndarray:
+        proposals = tiled_window_proposals(img, scales=scales)
+        kps, uncert = infer_keypoints_with_uncert(img, proposals)
+        return _postprocess(img, kps, uncert)
+
+    if infer_batch is not None:
+        def detect_batch(imgs: list[np.ndarray]) -> list[np.ndarray]:
+            """Same windows scored across many frames with batched
+            device dispatches (tester.infer_keypoints_batch with
+            return_uncert); per-frame fallback on mixed sizes."""
+            if len({im.shape for im in imgs}) != 1:
+                return [detect(im) for im in imgs]
+            proposals = tiled_window_proposals(imgs[0], scales=scales)
+            kps_list, unc_list = infer_batch(
+                imgs, [proposals] * len(imgs), return_uncert=True
+            )
+            return [
+                _postprocess(im, kps, unc)
+                for im, kps, unc in zip(imgs, kps_list, unc_list)
+            ]
+
+        detect.detect_batch = detect_batch
 
     return detect
 

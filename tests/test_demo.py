@@ -498,3 +498,22 @@ class TestBatchedRefineDetector:
         assert len(tracks) >= 1
         for tr in tracks.values():
             assert tr["bbox"].shape[1] == 4
+
+
+class TestBatchedUncertDetector:
+    def test_detect_batch_matches_per_frame(self, frame_folder):
+        import glob
+
+        tester = _tiny_tester()
+        det = tester.make_uncert_detector()
+        assert hasattr(det, "detect_batch")
+        frames = [
+            cv2.imread(p)[:, :, ::-1]
+            for p in sorted(glob.glob(os.path.join(frame_folder, "*.png")))
+        ]
+        batched = det.detect_batch(frames)
+        single = [det(im) for im in frames]
+        assert len(batched) == len(single) == len(frames)
+        for b, s in zip(batched, single):
+            assert b.shape == s.shape
+            np.testing.assert_allclose(b, s, atol=1e-2)
