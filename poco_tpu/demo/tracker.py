@@ -179,6 +179,7 @@ def make_keypoint_refine_detector(
     infer_keypoints,
     iters: int = 1,
     infer_keypoints_batch=None,
+    detect_size: int = 512,
 ) -> Detector:
     """Model-in-the-loop detector: proposals from `base` are refined by
     running the pose model and re-deriving the bbox from the predicted
@@ -219,16 +220,37 @@ def make_keypoint_refine_detector(
         def detect_batch(imgs: list[np.ndarray]) -> list[np.ndarray]:
             """Refine proposals for many frames with batched device
             dispatches (tester.infer_keypoints_batch); falls back to
-            per-frame when frame sizes differ."""
+            per-frame when frame sizes differ.
+
+            Frames are downscaled to `detect_size` on the long side for
+            the detection pass only (the reference detects at
+            yolo_img_size=416 on full-res frames the same way,
+            demo.py:260-262) — the refined boxes are mapped back to
+            original coordinates and the model later crops from the
+            full-resolution frames.
+            """
             if len({im.shape for im in imgs}) != 1:
                 return [detect(im) for im in imgs]
+            h, w = imgs[0].shape[:2]
+            ds = min(1.0, detect_size / max(h, w))
+            if ds < 1.0:
+                import cv2
+
+                small = [
+                    cv2.resize(
+                        im, (int(round(w * ds)), int(round(h * ds))),
+                        interpolation=cv2.INTER_AREA,
+                    )
+                    for im in imgs
+                ]
+            else:
+                small = imgs
             boxes_list = [
                 np.atleast_2d(np.asarray(base(im), np.float32))
-                for im in imgs
+                for im in small
             ]
-            h, w = imgs[0].shape[:2]
             for _ in range(iters):
-                kps = infer_keypoints_batch(imgs, boxes_list)
+                kps = infer_keypoints_batch(small, boxes_list)
                 nxt = []
                 for bi, (boxes, kp) in enumerate(zip(boxes_list, kps)):
                     refined = []
@@ -240,12 +262,13 @@ def make_keypoint_refine_detector(
                         ):
                             refined.append(boxes[di])
                             continue
-                        bb[0] = np.clip(bb[0], 0, w)
-                        bb[1] = np.clip(bb[1], 0, h)
+                        bb[0] = np.clip(bb[0], 0, w * ds)
+                        bb[1] = np.clip(bb[1], 0, h * ds)
                         refined.append(bb)
                     nxt.append(np.stack(refined))
                 boxes_list = nxt
-            return boxes_list
+            # map the refined boxes back to original-frame coordinates
+            return [b / ds for b in boxes_list]
 
         detect.detect_batch = detect_batch
 

@@ -491,6 +491,33 @@ class TestBatchedRefineDetector:
         for b, s in zip(batched, single):
             np.testing.assert_allclose(b, s, atol=1e-3)
 
+    def test_detect_batch_downscales_for_detection(self):
+        """Large frames are downscaled for the detection pass and the
+        refined boxes are mapped back to original coordinates."""
+        from poco_tpu.demo.tracker import make_keypoint_refine_detector
+
+        frames = [np.zeros((600, 800, 3), np.uint8) for _ in range(3)]
+        base = lambda img: np.array(
+            [[img.shape[1] / 2.0, img.shape[0] / 2.0, 100.0, 100.0]],
+            np.float32,
+        )
+        seen_shapes = []
+
+        def fake_batch(imgs, boxes_list):
+            seen_shapes.extend(im.shape for im in imgs)
+            # keypoints spanning (40,30)-(120,90) in small coords
+            kp = np.array([[40.0, 30.0], [120.0, 90.0]], np.float32)
+            return [kp[None] for _ in imgs]
+
+        det = make_keypoint_refine_detector(
+            base, None, infer_keypoints_batch=fake_batch, detect_size=400
+        )
+        out = det.detect_batch(frames)
+        # detection ran at 400px long side (ds = 0.5)
+        assert seen_shapes[0] == (300, 400, 3)
+        # kp box in small coords: center (80, 60), size 88; orig = x2
+        np.testing.assert_allclose(out[0][0], [160.0, 120.0, 176.0, 176.0])
+
     def test_run_tracking_uses_batch_path(self, frame_folder):
         tester = _tiny_tester()
         tester.detector = tester.make_refined_detector()
