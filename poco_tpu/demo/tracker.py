@@ -10,7 +10,7 @@ boxes (including an external YOLO service) drops in.
 
 from __future__ import annotations
 
-from typing import Callable, Protocol
+from typing import Callable
 
 import cv2
 import numpy as np

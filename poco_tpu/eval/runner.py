@@ -16,7 +16,6 @@ Replaces the reference's validation/test loop (pocolib/core/trainer.py:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,7 @@ from ..ops.rotation import axis_angle_to_rotmat
 from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
 from ..smpl.lbs import SmplParams, smpl_forward
 from .metrics import mpjpe, pa_mpjpe, uncert_error_correlation, vertex_error
-from .uncertainty import global_uncert, prepare_uncert
+from .uncertainty import prepare_uncert
 
 
 def make_gendered_eval_step(
@@ -144,7 +143,7 @@ def run_eval(
     max_batches: int | None = None,
 ) -> EvalResult:
     """Evaluate a dataset, sharding each padded batch over the mesh."""
-    from ..data.dataset import DataLoader, collate
+    from ..data.dataset import DataLoader
 
     smpl_male = smpl_male or smpl_neutral
     smpl_female = smpl_female or smpl_neutral

@@ -12,7 +12,7 @@ Reference topologies: pocolib/models/backbone/{resnet.py,hrnet.py,hrnet_cls.py}.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

@@ -30,7 +30,7 @@ paths (the shipped hrnet_w32-pare config and its documented variants):
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

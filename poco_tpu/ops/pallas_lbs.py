@@ -19,7 +19,6 @@ runs the same kernel on CPU for tests.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

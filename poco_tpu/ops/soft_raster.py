@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..constants import IMG_RES
 
 
 def project_weak_perspective(

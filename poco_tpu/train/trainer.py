@@ -41,8 +41,8 @@ from ..models.poco import POCO, init_poco
 from ..ops.preprocess import normalize_image
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..smpl.lbs import SmplParams
-from .state import TrainState, create_train_state, make_optimizer
-from .step import best_model_metric, make_train_step
+from .state import create_train_state, make_optimizer
+from .step import make_train_step
 
 
 def select_gt_pose_cond(
