@@ -28,7 +28,21 @@ def main():
     parser.add_argument("--smpl_dir", default=None)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--out", default=None, help="report json path")
+    parser.add_argument(
+        "--make_launcher", default=None, choices=["bash", "slurm"],
+        help="write a grid-search eval array launcher and exit (the "
+             "reference eval.py's --cluster handoff, eval.py:44-58)",
+    )
     args = parser.parse_args()
+
+    if args.make_launcher:
+        from poco_tpu.utils.cluster import write_launcher
+
+        path = write_launcher(
+            args.cfg, script="eval.py", scheduler=args.make_launcher
+        )
+        print(f"launcher written: {path}")
+        return
 
     import jax
 
