@@ -134,16 +134,14 @@ def run_video(args, tester):
             uncert_color=not args.no_uncert_color,
             wireframe=args.wireframe,
             uncert_log=osp.join(out_dir, "uncertainty.log"),
+            display=args.display,
         )
         tag = f"_{args.exp}" if args.exp else ""
+        # name from the LOCAL file (vid_file may have been downloaded
+        # from a URL); guarantee an .mp4 result name either way
+        stem = osp.splitext(osp.basename(vid_file))[0]
         images_to_video(
-            render_dir,
-            osp.join(
-                out_dir,
-                osp.basename(args.vid_file).replace(
-                    ".mp4", f"{tag}_poco.mp4"
-                ),
-            ),
+            render_dir, osp.join(out_dir, f"{stem}{tag}_poco.mp4")
         )
 
 

@@ -18,7 +18,7 @@ import os
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", required=True)
-    parser.add_argument("--cfg_id", type=int, default=0,
+    parser.add_argument("--cfg_id", type=int, default=None,
                         help="experiment id within a grid-search config "
                              "(reference eval.py:41-44)")
     parser.add_argument("--ckpt", default=None,
@@ -56,7 +56,7 @@ def main():
     from poco_tpu.models.poco import POCO, init_poco
     from poco_tpu.smpl.assets import resolve_smpl_params
 
-    if args.cfg_id:
+    if args.cfg_id is not None:
         # grid-search config: pick one experiment, no logdir side effects
         from poco_tpu.config import run_grid_search_experiments
 
@@ -127,18 +127,10 @@ def load_checkpoint_into(variables, ckpt_path: str, model_cfg,
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        template = {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats"),
-            "buffers": variables.get("buffers"),
-        }
-        try:
-            restored = ckptr.restore(os.path.abspath(ckpt_path), template)
-        except BaseException:
-            import jax.numpy as _j
-
-            template["step"] = _j.zeros((), _j.int32)
-            restored = ckptr.restore(os.path.abspath(ckpt_path), template)
+        # Template-free restore: checkpoints may carry extra entries
+        # (step, opt_state, rng from the complete-resume payload) that a
+        # fixed template would reject with a tree-structure mismatch.
+        restored = ckptr.restore(os.path.abspath(ckpt_path))
         out = dict(variables)
         for k in ("params", "batch_stats", "buffers"):
             if restored.get(k) is not None:

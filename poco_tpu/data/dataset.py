@@ -100,6 +100,13 @@ class PocoDataset:
         self.options.update(options or {})
         self.occluders = occluders
         self.rng = np.random.RandomState(seed)
+        # Occlusion augmentation draws from its own stream so the
+        # per-item and native whole-batch paths consume the main RNG in
+        # the same order (get_batch draws all augment params up front;
+        # interleaved occlusion draws would desynchronize the streams).
+        self.occ_rng = np.random.RandomState(
+            None if seed is None else seed + 77_003
+        )
 
         data = dict(np.load(npz_file, allow_pickle=True))
         n = len(data["imgname"])
@@ -224,7 +231,7 @@ class PocoDataset:
                 from .occlusion import occlude_with_coco_objects
 
                 crop = occlude_with_coco_objects(
-                    crop, kp2d, self.occluders, self.rng,
+                    crop, kp2d, self.occluders, self.occ_rng,
                     img_size=self.options["IMG_RES"],
                 )
             elif occ_ds == "pascal_random":
@@ -232,12 +239,12 @@ class PocoDataset:
                 # occlusion.py:152-176).
                 from .occlusion import occlude_with_objects
 
-                crop = occlude_with_objects(crop, self.occluders, self.rng)
+                crop = occlude_with_objects(crop, self.occluders, self.occ_rng)
             else:
                 from .occlusion import occlude_with_objects_kp
 
                 crop = occlude_with_objects_kp(
-                    crop, kp2d, scale, self.occluders, self.rng
+                    crop, kp2d, scale, self.occluders, self.occ_rng
                 )
 
         return {

@@ -192,8 +192,16 @@ class PocoTester:
     def run_detector(self, image_files: list[str]) -> list[np.ndarray]:
         """Per-image detections (reference tester.py:140-151)."""
         if hasattr(self.detector, "detect_batch"):
-            imgs = [cv2.imread(p)[:, :, ::-1] for p in image_files]
-            return self.detector.detect_batch(imgs)
+            # bounded chunks: don't hold every frame in RAM at once
+            out: list[np.ndarray] = []
+            CHUNK = 64
+            for start in range(0, len(image_files), CHUNK):
+                imgs = [
+                    cv2.imread(p)[:, :, ::-1]
+                    for p in image_files[start:start + CHUNK]
+                ]
+                out.extend(self.detector.detect_batch(imgs))
+            return out
         return [
             self.detector(cv2.imread(p)[:, :, ::-1]) for p in image_files
         ]
@@ -253,14 +261,29 @@ class PocoTester:
         h0, w0 = imgs[0].shape[:2]
         bucket_h = -(-h0 // 256) * 256
         bucket_w = -(-w0 // 256) * 256
-        counts = [len(np.atleast_2d(b)) for b in boxes_list]
-        B = max(1, -(-max(counts) // 4) * 4)
 
+        def _norm_boxes(b):
+            b = np.asarray(b, np.float32).reshape(-1, 4)
+            return b
+
+        boxes_list = [_norm_boxes(b) for b in boxes_list]
+        counts = [len(b) for b in boxes_list]
+        B = max(1, -(-max(counts, default=0) // 4) * 4)
+
+        # frames with no detections get a whole-frame dummy box for the
+        # padded dispatch; their result slice is empty (the per-frame
+        # path's boxes.size == 0 contract)
+        dummy = np.array(
+            [w0 / 2.0, h0 / 2.0, min(h0, w0), min(h0, w0)], np.float32
+        )
         centers = np.zeros((M, B, 2), np.float32)
         scales = np.full((M, B), 1.0, np.float32)
         for i, b in enumerate(boxes_list):
-            b = np.atleast_2d(np.asarray(b, np.float32))
             n = len(b)
+            if n == 0:
+                centers[i] = dummy[:2]
+                scales[i] = max(dummy[2], dummy[3]) / 200.0
+                continue
             idx = np.minimum(np.arange(B), n - 1)
             centers[i] = b[idx, :2]
             scales[i] = np.maximum(b[idx, 2], b[idx, 3]) / 200.0
@@ -509,13 +532,15 @@ class PocoTester:
                             np.asarray(self.smpl.lbs_weights),
                             backbone=self.backbone,
                         )
-                    frame = self.renderer.render(
-                        frame, result["verts"][pi],
-                        out["pred_cam"][pi] if render_crop else orig_cam[pi],
-                        vertex_colors=vc,
-                    )
-                    if render_crop:
-                        break  # one crop = one person overlay
+                    if not render_crop or pi == 0:
+                        # render_crop: one crop = one person overlay,
+                        # but obj export still covers every person
+                        frame = self.renderer.render(
+                            frame, result["verts"][pi],
+                            out["pred_cam"][pi] if render_crop
+                            else orig_cam[pi],
+                            vertex_colors=vc,
+                        )
                     if save_obj:
                         from ..viz.renderer import save_obj as _save_obj
 
@@ -655,6 +680,7 @@ class PocoTester:
         uncert_color: bool = True,
         wireframe: bool = False,
         uncert_log: str | None = None,
+        display: bool = False,
     ) -> None:
         """Depth-sorted per-frame rendering (reference tester.py:482-580)."""
         image_files = images_in_folder(image_folder)
@@ -685,6 +711,8 @@ class PocoTester:
                 osp.join(output_folder, f"{frame_id:06d}.png"),
                 frame[:, :, ::-1],
             )
+            if display:
+                self._display_frame(frame)
         if uncert_log:
             with open(uncert_log, "w") as f:
                 f.write("\n".join(log_lines))

@@ -253,6 +253,9 @@ def make_keypoint_refine_detector(
                 kps = infer_keypoints_batch(small, boxes_list)
                 nxt = []
                 for bi, (boxes, kp) in enumerate(zip(boxes_list, kps)):
+                    if len(boxes) == 0:
+                        nxt.append(boxes.reshape(0, 4))
+                        continue
                     refined = []
                     for di in range(len(boxes)):
                         bb = bbox_from_kp2d(np.asarray(kp[di]))
@@ -368,9 +371,17 @@ def run_tracking(
     """
     if hasattr(detector, "detect_batch"):
         # batched device detector (e.g. YoloDetector): one jitted
-        # program per tracker batch instead of one dispatch per frame
-        imgs = [cv2.imread(p)[:, :, ::-1] for p in image_files]
-        dets = detector.detect_batch(imgs)
+        # program per tracker batch instead of one dispatch per frame.
+        # Frames are read in bounded chunks so long videos do not need
+        # the whole sequence decoded in RAM at once.
+        dets = []
+        CHUNK = 64
+        for start in range(0, len(image_files), CHUNK):
+            imgs = [
+                cv2.imread(p)[:, :, ::-1]
+                for p in image_files[start:start + CHUNK]
+            ]
+            dets.extend(detector.detect_batch(imgs))
     else:
         dets = []
         for path in image_files:

@@ -161,10 +161,18 @@ class Trainer:
                 self._tb = None
         self._csv = None
         if "csv" in pref:
-            self._csv = open(
-                os.path.join(self.logdir, "metrics.csv"), "a", buffering=1
-            )
-            self._csv_keys: list[str] | None = None
+            path = os.path.join(self.logdir, "metrics.csv")
+            # resume-aware: adopt an existing header's columns
+            self._csv_keys: list[str] = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    header = f.readline().strip()
+                if header.startswith("global_step,"):
+                    self._csv_keys = header.split(",")[1:]
+            else:
+                with open(path, "w") as f:
+                    f.write("global_step\n")
+            self._csv = open(path, "a", buffering=1)
 
         from .state import count_params
 
@@ -275,13 +283,34 @@ class Trainer:
                 k: v for k, v in record.items()
                 if isinstance(v, (int, float)) and not isinstance(v, bool)
             }
-            if self._csv_keys is None:
-                self._csv_keys = ["global_step"] + sorted(scalars)
-                self._csv.write(",".join(self._csv_keys) + "\n")
-            row = [str(step)] + [
-                str(scalars.get(k, "")) for k in self._csv_keys[1:]
-            ]
-            self._csv.write(",".join(row) + "\n")
+            if scalars:
+                self._csv_write(step, scalars)
+
+    def _csv_write(self, step: int, scalars: dict) -> None:
+        """Append a row to metrics.csv, growing the header as new metric
+        keys appear (the first records — e.g. the params-count event —
+        must not freeze the column set for the whole run)."""
+        new_keys = [k for k in sorted(scalars) if k not in self._csv_keys]
+        path = os.path.join(self.logdir, "metrics.csv")
+        if new_keys:
+            # rewrite with the widened header, preserving existing rows
+            old_keys = list(self._csv_keys)
+            self._csv_keys = old_keys + new_keys
+            self._csv.close()
+            rows = []
+            with open(path) as f:
+                lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+            for ln in lines[1:] if lines else []:
+                rows.append(ln.split(","))
+            with open(path, "w") as f:
+                f.write(",".join(["global_step"] + self._csv_keys) + "\n")
+                for r in rows:
+                    f.write(",".join(r + [""] * len(new_keys)) + "\n")
+            self._csv = open(path, "a", buffering=1)
+        row = [str(step)] + [
+            str(scalars.get(k, "")) for k in self._csv_keys
+        ]
+        self._csv.write(",".join(row) + "\n")
 
     def _device_batch(self, host_batch: dict) -> dict:
         p = self.hparams.POCO

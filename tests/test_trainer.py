@@ -622,3 +622,81 @@ class TestSpinMethodTraining:
         # no uncertainty head in the spin baseline
         assert "uncert_head" not in trainer.state.params
         assert "uncert_mpjpe_corr" not in summary
+
+
+class TestCheckpointInterop:
+    def _h(self, tmp_path):
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.DATASET.BATCH_SIZE = 8
+        return h
+
+    def test_eval_loads_resume_payload_checkpoint(self, tmp_path):
+        """Checkpoints carrying the complete-resume payload (opt_state,
+        step, rng) must load through eval.py's load_checkpoint_into
+        (regression: template-based orbax restore rejected the extra
+        entries with a tree-structure mismatch)."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from eval import load_checkpoint_into
+
+        h = self._h(tmp_path / "run")
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(h, smpl, train_dataset_fn=lambda e: _ArrayDataset())
+        trainer.save_checkpoint("best_model")
+
+        from poco_tpu.config import model_config_from_hparams
+        from poco_tpu.models.poco import POCO, init_poco
+
+        model = POCO(cfg=model_config_from_hparams(h))
+        variables = init_poco(model, jax.random.PRNGKey(7), smpl)
+        loaded = load_checkpoint_into(
+            variables,
+            os.path.join(str(tmp_path / "run"), "best_model"),
+            model.cfg,
+        )
+        for x, y in zip(
+            jax.tree.leaves(trainer.state.params),
+            jax.tree.leaves(loaded["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestCsvLogger:
+    def test_header_grows_with_new_metric_keys(self, tmp_path):
+        """The first logged record (params counts) must not freeze the
+        CSV column set — later loss/val metrics get columns too."""
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.PREF_LOGGER = "csv"
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(h, smpl, train_dataset_fn=lambda e: _ArrayDataset())
+        trainer._log({"loss/total_loss": 1.25, "loss/keypoint": 0.5})
+        trainer._log({"mpjpe": 77.0})
+        with open(os.path.join(trainer.logdir, "metrics.csv")) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        header = lines[0].split(",")
+        assert "loss/total_loss" in header
+        assert "mpjpe" in header
+        # the loss row carries its value under the right column
+        row = dict(zip(header, lines[-2].split(",")))
+        assert row["loss/total_loss"] == "1.25"
+        row2 = dict(zip(header, lines[-1].split(",")))
+        assert row2["mpjpe"] == "77.0"
