@@ -59,12 +59,19 @@ def make_gendered_eval_step(
             batch["pose"].reshape(-1, 3)
         ).reshape(bsz, 24, 3, 3)
 
+        out_n = smpl_forward(smpl_n, batch["betas"], gt_rotmat)
         out_m = smpl_forward(smpl_m, batch["betas"], gt_rotmat)
         out_f = smpl_forward(smpl_f, batch["betas"], gt_rotmat)
+        # gender: -1 unknown -> NEUTRAL GT (datasets without a gender
+        # field, dataset.py:159); 0 male, 1 female
         gender = batch["gender"].reshape(-1, 1, 1)
-        gt_verts = jnp.where(gender == 1, out_f.vertices, out_m.vertices)
+        gt_verts = jnp.where(
+            gender == 1, out_f.vertices,
+            jnp.where(gender == 0, out_m.vertices, out_n.vertices),
+        )
         gt_joints24 = jnp.where(
-            gender == 1, out_f.joints_lbs, out_m.joints_lbs
+            gender == 1, out_f.joints_lbs,
+            jnp.where(gender == 0, out_m.joints_lbs, out_n.joints_lbs),
         )
 
         if j_regressor_eval is not None:
@@ -73,12 +80,17 @@ def make_gendered_eval_step(
             pred_j14 = joints_from_vertices(j_regressor_eval, pred_verts)
             gt_j14 = joints_from_vertices(j_regressor_eval, gt_verts)
         else:
+            # No-regressor fallback: 14 LSP-ordered joints from the SMPL
+            # skeleton (the gendered GT meshes only provide skeleton
+            # joints, so pred uses the same space via one extra LBS).
+            # Hip-midpoint pelvis (positions 2/3 in LSP order), matching
+            # train/step.py's fallback and keypoint_3d_loss.
             sel = jnp.asarray(SMPL_J24_TO_COMMON_J14)
             pred_out = smpl_forward(smpl_n, out["pred_shape"], out["pred_pose"])
             pred_j = pred_out.joints_lbs[:, sel]
             gt_j = gt_joints24[:, sel]
-            pred_j14 = pred_j - pred_j.mean(axis=1, keepdims=True)
-            gt_j14 = gt_j - gt_j.mean(axis=1, keepdims=True)
+            pred_j14 = pred_j - (pred_j[:, 2:3] + pred_j[:, 3:4]) / 2.0
+            gt_j14 = gt_j - (gt_j[:, 2:3] + gt_j[:, 3:4]) / 2.0
 
         metrics = {
             "mpjpe": mpjpe(pred_j14, gt_j14),

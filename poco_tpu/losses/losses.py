@@ -107,14 +107,16 @@ def keypoint_3d_loss(
     gt_joints24: jnp.ndarray,
     has_pose_3d: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Pelvis-centered MSE over the 24 GT joints (reference losses.py:392-419)."""
+    """Pelvis-centered confidence-weighted MSE over the 24 GT joints
+    (reference losses.py:392-419 multiplies by the per-joint conf)."""
     pred = pred_joints49[:, 25:, :]
     gt = gt_joints24[..., :-1]
+    conf = gt_joints24[..., -1:]
     gt_pelvis = (gt[:, 2, :] + gt[:, 3, :]) / 2.0
     pred_pelvis = (pred[:, 2, :] + pred[:, 3, :]) / 2.0
     gt = gt - gt_pelvis[:, None, :]
     pred = pred - pred_pelvis[:, None, :]
-    return masked_mean((pred - gt) ** 2, has_pose_3d)
+    return masked_mean(conf * (pred - gt) ** 2, has_pose_3d)
 
 
 def shape_loss(
@@ -166,13 +168,23 @@ def smpl_losses_uncertainty(
             # for the pose term (losses.py:477-479 swallows the elifs).
             loss_pose = masked_mean(sq_err, uncert)
         elif cfg.loss_ver == "norm_flow_res":
-            amp = 1.0 / math.sqrt(2.0 * math.pi)
-            log_q = jnp.log(sigma / amp) + jnp.abs(pred_rotmat - gt_rotmat) / (
-                math.sqrt(2.0) * sigma + 1e-9
-            )
-            loss_pose = masked_mean(log_q, uncert)
+            if sigma.shape[1] < 24:
+                # EXCLUDE_UNCERT_IDX shrinks sigma to P < 24 parts; the
+                # reference broadcasts mismatched shapes here and crashes
+                # (losses.py:480-484). Deliberate divergence: fall back
+                # to plain MSE, mirroring its own norm_flow_res_gaus
+                # handling of the same case (losses.py:487-488).
+                loss_pose = masked_mean(sq_err, uncert)
+            else:
+                amp = 1.0 / math.sqrt(2.0 * math.pi)
+                log_q = jnp.log(sigma / amp) + jnp.abs(
+                    pred_rotmat - gt_rotmat
+                ) / (math.sqrt(2.0) * sigma + 1e-9)
+                loss_pose = masked_mean(log_q, uncert)
         elif cfg.loss_ver == "norm_flow_res_gaus":
             if sigma.shape[1] < 24:
+                # Reference parity: excluded-parts sigma -> plain MSE
+                # (losses.py:487-488 "Some parts are excluded").
                 loss_pose = masked_mean(sq_err, uncert)
             else:
                 nll = sq_err / (sigma + _EPS) + jnp.log(sigma + _EPS)

@@ -11,6 +11,7 @@ TPU-first redesign notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import FOCAL_LENGTH, IMG_RES
@@ -164,8 +165,11 @@ def estimate_translation(
     rhs = jnp.concatenate([b_u, b_v], axis=1)           # (B, 2J)
     wts = jnp.concatenate([w, w], axis=1)               # (B, 2J)
 
-    ata = jnp.einsum("bki,bk,bkj->bij", rows, wts, rows)
-    atb = jnp.einsum("bki,bk,bk->bi", rows, wts, rhs)
+    # full-precision normal equations: default bf16 matmuls cost
+    # ~1.5 cm of fitted translation (measured); see eval/metrics.py
+    hi = jax.lax.Precision.HIGHEST
+    ata = jnp.einsum("bki,bk,bkj->bij", rows, wts, rows, precision=hi)
+    atb = jnp.einsum("bki,bk,bk->bi", rows, wts, rhs, precision=hi)
     ata = ata + 1e-6 * jnp.eye(3, dtype=ata.dtype)
     return jnp.linalg.solve(ata, atb[..., None])[..., 0]
 

@@ -15,6 +15,7 @@ interchangeable to interpolation precision.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,8 +159,12 @@ def crop_and_resize_mxu(
     ry = weight_matrix(ys, h)                       # (B, R, H)
 
     # out[b, i, j, c] = sum_{y,x} ry[b,i,y] rx[b,j,x] img[y,x,c]
-    tmp = jnp.einsum("biy,yxc->bixc", ry, image)    # (B, R, W, 3)
-    return jnp.einsum("bjx,bixc->bijc", rx, tmp)
+    # Full precision: default bf16 contraction deviates from the gather
+    # path by up to 0.5/255 per pixel (measured), breaking the
+    # interchangeability contract with crop_and_resize/cv2.
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("biy,yxc->bixc", ry, image, precision=hi)
+    return jnp.einsum("bjx,bixc->bijc", rx, tmp, precision=hi)
 
 
 def normalize_image(crops: jnp.ndarray, max_val: float = 255.0) -> jnp.ndarray:

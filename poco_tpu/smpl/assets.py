@@ -192,15 +192,36 @@ def resolve_smpl_params(
     `POCO_TPU_SMPL_DIR` environment variable).
     """
     model_dir = model_dir or os.environ.get("POCO_TPU_SMPL_DIR", "")
-    if model_dir:
+
+    def _find(g: str) -> str | None:
         for ext in ("npz", "pkl"):
             for name in (
-                f"SMPL_{gender.upper()}.{ext}",
-                f"smpl_{gender.lower()}.{ext}",
-                f"basicmodel_{gender[0].lower()}_lbs_10_207_0_v1.1.0.{ext}",
+                f"SMPL_{g.upper()}.{ext}",
+                f"smpl_{g.lower()}.{ext}",
+                f"basicmodel_{g[0].lower()}_lbs_10_207_0_v1.1.0.{ext}",
             ):
                 path = os.path.join(model_dir, name)
                 if os.path.exists(path):
-                    extra = os.path.join(model_dir, "J_regressor_extra.npy")
-                    return load_smpl_model(path, extra, dtype)
+                    return path
+        return None
+
+    if model_dir:
+        path = _find(gender)
+        if path is None and gender != "neutral":
+            # a missing gendered file must NOT silently become random
+            # synthetic geometry — fall back to the real neutral model
+            # (with a notice), which keeps metrics meaningful
+            path = _find("neutral")
+            if path is not None:
+                print(
+                    f"SMPL {gender} model not found in {model_dir}; "
+                    "using the neutral model for gendered GT"
+                )
+        if path is not None:
+            extra = os.path.join(model_dir, "J_regressor_extra.npy")
+            return load_smpl_model(path, extra, dtype)
+        print(
+            f"no SMPL weights found in {model_dir}; using the SYNTHETIC "
+            "test model — metrics will not be meaningful"
+        )
     return synthetic_smpl_model(dtype=dtype)
