@@ -164,10 +164,12 @@ class PocoDataset:
 
     def _load_image(self, index: int) -> np.ndarray:
         path = os.path.join(self.img_dir, str(self.imgname[index]))
-        # Native fast path (opt-in): threaded C++ JPEG decode
-        # (poco_tpu/runtime/loader.py).
-        if os.environ.get("POCO_TPU_NATIVE_LOADER") and path.lower().endswith(
-            (".jpg", ".jpeg")
+        # Native fast path: threaded C++ JPEG decode
+        # (poco_tpu/runtime/loader.py). Same default and opt-out
+        # (POCO_TPU_NATIVE_LOADER=0) as the whole-batch path.
+        if (
+            os.environ.get("POCO_TPU_NATIVE_LOADER", "1") != "0"
+            and path.lower().endswith((".jpg", ".jpeg"))
         ):
             from ..runtime import loader as native_loader
 
@@ -176,10 +178,13 @@ class PocoDataset:
         img = cv2.imread(path)
         if img is None:
             # Transient-FS retry (reference base_dataset.py:276-283 sleeps
-            # 500-1000s for NFS hiccups; bounded here).
+            # 500-1000s for NFS hiccups; bounded here). Sleep duration
+            # comes from the occlusion stream, NOT self.rng: a flaky read
+            # must not desynchronize the augmentation draws that keep the
+            # per-item and whole-batch paths in lockstep.
             import time
 
-            time.sleep(self.rng.uniform(0.5, 1.0))
+            time.sleep(self.occ_rng.uniform(0.5, 1.0))
             img = cv2.imread(path)
         if img is None:
             raise FileNotFoundError(path)
@@ -365,6 +370,12 @@ class ResumableSampler:
     Stores the epoch permutation and a cursor so a checkpointed run can
     continue from the exact batch it stopped at (reference
     pocolib/utils/dataloader.py:7-64, CheckpointDataLoader samplers).
+
+    NOT wired into the product Trainer/DataLoader — deliberately, for
+    parity: the reference's CheckpointDataLoader is equally unused by
+    its training loop (SURVEY §2.3 "vestigial"), and the Trainer resumes
+    at epoch granularity (DataLoader(seed=epoch) is deterministic).
+    Kept as a tested utility for users who shard/restart manually.
     """
 
     def __init__(self, n: int, shuffle: bool = True, seed: int = 0):

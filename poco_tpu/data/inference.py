@@ -59,16 +59,24 @@ class InferenceDataset:
         self.crop_size = crop_size
 
         if bboxes is None and joints2d is not None:
-            params, start, _ = get_smooth_bbox_params(
+            params, start, end = get_smooth_bbox_params(
                 list(joints2d), vis_thresh=0.3
             )
+            # params covers frames 0..end (zero-padded before `start`);
+            # keep only frames with a real smoothed bbox — keypoints can
+            # become invisible before the tracklet's last frame, and a
+            # zero scale row would divide to inf below.
+            valid = params[:, 2] > 0
+            params = params[valid]
             cxcy = params[:, :2]
             # scale param is 150/person_height -> bbox edge
             size = 150.0 / params[:, 2:3] * 1.2
             bboxes = np.concatenate([cxcy, size, size], axis=1)
-            self.frames = self.frames[start:]
-            bboxes = bboxes[start : start + len(self.frames)]
+            self.frames = self.frames[np.nonzero(valid)[0]]
         self.bboxes = np.asarray(bboxes, np.float32)
+        assert len(self.bboxes) == len(self.frames), (
+            f"bbox/frame mismatch: {len(self.bboxes)} vs {len(self.frames)}"
+        )
 
     def __len__(self) -> int:
         return len(self.frames)

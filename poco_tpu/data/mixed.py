@@ -63,12 +63,46 @@ class RatioMixedDataset:
     def __len__(self) -> int:
         return self.length
 
-    def __getitem__(self, index: int):
+    def _pick(self) -> int:
         p = self.rng.rand()
         for i, edge in enumerate(self.cum_ratios):
             if p <= edge:
-                return self.datasets[i][index % len(self.datasets[i])]
-        return self.datasets[-1][index % len(self.datasets[-1])]
+                return i
+        return len(self.datasets) - 1
+
+    def __getitem__(self, index: int):
+        i = self._pick()
+        return self.datasets[i][index % len(self.datasets[i])]
+
+    def get_batch(self, indices) -> dict:
+        """Whole-batch fast path: draw the per-item dataset choices, then
+        let each member batch its share natively (PocoDataset.get_batch —
+        the threaded C++ decode path); reassemble in request order.
+
+        Without this, every mixed-dataset run (the reference's standard
+        DATASETS_AND_RATIOS training setup) silently fell back to
+        per-item cv2 decode.
+        """
+        from .dataset import collate
+
+        indices = [int(i) for i in indices]
+        choices = [self._pick() for _ in indices]
+        items: list = [None] * len(indices)
+        for di, ds in enumerate(self.datasets):
+            pos = [k for k, c in enumerate(choices) if c == di]
+            if not pos:
+                continue
+            local = [indices[k] % len(ds) for k in pos]
+            if hasattr(ds, "get_batch"):
+                sub = ds.get_batch(local)
+                # un-collate the member batch back into items
+                keys = list(sub)
+                for j, k in enumerate(pos):
+                    items[k] = {key: sub[key][j] for key in keys}
+            else:
+                for k, li in zip(pos, local):
+                    items[k] = ds[li]
+        return collate(items)
 
 
 def spin_mixed_partition(dataset_lengths: list[int]) -> list[float]:

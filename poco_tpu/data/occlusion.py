@@ -123,7 +123,20 @@ def load_coco_occluders(path: str) -> dict:
     import joblib
 
     occluders = joblib.load(path)
-    freq = np.array([len(v) for v in occluders["stats"].values()], np.float64)
+    # Per-joint frequency aligned by JOINT NAME to the SPIN 24-joint
+    # order (index order of the stats dict is not a contract: a stats
+    # key order differing from the registry would silently address the
+    # wrong joints' visibility/positions downstream).
+    from ..utils.kp_utils import JOINT_NAME_REGISTRY
+
+    joint_names = JOINT_NAME_REGISTRY["spin"][25:]
+    stats = occluders["stats"]
+    freq = np.array(
+        [len(stats.get(name, ())) for name in joint_names], np.float64
+    )
+    if freq.sum() == 0:
+        # unknown naming scheme: fall back to uniform over 24 joints
+        freq = np.ones(len(joint_names), np.float64)
     occluders["joint_occ_freq"] = freq / freq.sum()
     return occluders
 

@@ -29,6 +29,7 @@ from ..constants import (
 from ..ops.rotation import axis_angle_to_rotmat
 from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
 from ..smpl.lbs import SmplParams, smpl_forward
+from ..train.step import best_model_metric
 from .metrics import mpjpe, pa_mpjpe, uncert_error_correlation, vertex_error
 from .uncertainty import prepare_uncert
 
@@ -120,7 +121,7 @@ class EvalResult:
             "pa_mpjpe": float(self.pa_mpjpe_mm.mean()),
             "v2v": float(self.v2v_mm.mean()),
         }
-        s["best_model_metric"] = 0.5 * (1.5 * s["pa_mpjpe"] + s["mpjpe"])
+        s["best_model_metric"] = best_model_metric(s["pa_mpjpe"], s["mpjpe"])
         if self.uncert is not None:
             per_sample_var = self.uncert.mean(axis=-1)
             s["uncert_mpjpe_corr"] = float(

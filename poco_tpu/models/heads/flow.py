@@ -207,6 +207,10 @@ class FlowHead(nn.Module):
         pred = pred_pose[:, sel]
         gt = gt_pose_rotmat[:, sel]
         sigma = var_pose
+        if sigma is None:
+            # no uncertainty head active (e.g. mse loss_ver + flow):
+            # flow over the raw residual
+            sigma = jnp.ones_like(pred)
         if sigma.ndim == 2:
             sigma = sigma[:, :, None, None]
             sigma = jnp.broadcast_to(sigma, sigma.shape[:2] + (3, 3))

@@ -136,7 +136,13 @@ class POCO(nn.Module):
         elif cfg.head_name == "pare":
             from .heads.pare import PareHead
 
-            self.head = PareHead(num_input_features=n_feat, dtype=self.dtype)
+            # forward the uncert-layer mode so same_branch_v1 /
+            # diff_branch_lc2d size the head's exposed channels correctly
+            self.head = PareHead(
+                num_input_features=n_feat,
+                uncert_layer=cfg.uncert_layer,
+                dtype=self.dtype,
+            )
         else:
             self.head = HmrHead(num_input_features=n_feat, dtype=self.dtype)
 
@@ -231,7 +237,7 @@ class POCO(nn.Module):
                 head_out["uncert_feat"],
                 head_out["pred_pose"],
                 batch["gt_pose_rotmat"],
-                output["var_pose"],
+                output.get("var_pose"),
             )
         else:
             output["log_phi"] = None

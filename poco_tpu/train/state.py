@@ -83,8 +83,6 @@ def make_optimizer(
 
     def adam_for(mult: float):
         chain = []
-        if grad_clip:
-            chain.append(optax.clip_by_global_norm(grad_clip))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
         chain.append(optax.adam(lr * mult))
@@ -102,7 +100,13 @@ def make_optimizer(
         # Frozen modules keep their own label; others collapse to theirs.
         return labels
 
-    return optax.multi_transform(transforms, labeler)
+    tx = optax.multi_transform(transforms, labeler)
+    if grad_clip:
+        # Clip on the WHOLE-model gradient norm before the per-module
+        # partitions (the reference's PL gradient_clip_val semantics);
+        # clipping inside each partition would use per-partition norms.
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
 
 
 def create_train_state(

@@ -331,9 +331,10 @@ class Trainer:
         n_dev = int(self.mesh.devices.size)
         pad = (-n) % n_dev
         if pad:
-            batch = {
-                k: np.concatenate([v, v[:pad]]) for k, v in batch.items()
-            }
+            # cycle indices so pad > n (batch smaller than the mesh)
+            # still fills completely
+            idx = np.arange(n + pad) % n
+            batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
 
         sharded = shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh

@@ -285,3 +285,53 @@ class TestEvalTimeAugmentation:
         assert not np.allclose(a["img"], b["img"])
         assert b["rot_angle"] == 30.0
         np.testing.assert_allclose(b["scale"], a["scale"] * 1.2, rtol=1e-5)
+
+
+class TestMixedBatchPath:
+    def test_get_batch_matches_per_item(self, tmp_path):
+        """RatioMixedDataset.get_batch reproduces the per-item path
+        (same seed): identical dataset picks and identical samples."""
+        from poco_tpu.data.mixed import RatioMixedDataset
+
+        class _Stub:
+            def __init__(self, tag, n):
+                self.tag, self.n = tag, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {"x": np.float32(i), "tag": f"{self.tag}"}
+
+        a = RatioMixedDataset([_Stub("a", 5), _Stub("b", 3)], [0.5, 0.5], seed=3)
+        b = RatioMixedDataset([_Stub("a", 5), _Stub("b", 3)], [0.5, 0.5], seed=3)
+        idx = [0, 1, 2, 3, 6, 7]
+        batch = a.get_batch(idx)
+        items = [b[i] for i in idx]
+        assert list(batch["x"]) == [it["x"] for it in items]
+        assert list(batch["tag"]) == [it["tag"] for it in items]
+
+    def test_get_batch_uses_member_fast_path(self):
+        from poco_tpu.data.mixed import RatioMixedDataset
+
+        calls = []
+
+        class _Fast:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise AssertionError("per-item path should not be used")
+
+            def get_batch(self, local):
+                calls.append(list(local))
+                from poco_tpu.data.dataset import collate
+
+                return collate(
+                    [{"x": np.float32(i)} for i in local]
+                )
+
+        ds = RatioMixedDataset([_Fast()], [1.0], seed=0)
+        batch = ds.get_batch([0, 1, 5])
+        assert calls == [[0, 1, 1]]
+        assert list(batch["x"]) == [0.0, 1.0, 1.0]
