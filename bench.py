@@ -103,8 +103,11 @@ def main():
         dt_n = time.perf_counter() - t0
         samples.append(max(dt_n - dt1, 1e-6) / max(ITERS - 1, 1))
 
-    n_chips = jax.device_count()
-    per_chip_samples = sorted(BATCH / t / n_chips for t in samples)
+    # The jitted forward runs on exactly ONE device (no sharding), so
+    # per-chip throughput is batch/time regardless of how many chips the
+    # host exposes; dividing by device_count would under-report by
+    # n_chips on multi-chip hosts.
+    per_chip_samples = sorted(BATCH / t for t in samples)
     per_chip = float(np.median(per_chip_samples))
     print(
         json.dumps(

@@ -93,6 +93,8 @@ def run_video(args, tester):
     out_dir = args.output_folder
     os.makedirs(out_dir, exist_ok=True)
     vid_file = args.vid_file
+    if not vid_file:
+        raise SystemExit("--mode video requires --vid_file")
     if vid_file.startswith(("https://www.youtube.com", "https://youtu.be")):
         # Reference demo.py:47-55: optional YouTube ingestion.
         from poco_tpu.utils.demo_utils import download_youtube_clip
@@ -106,8 +108,11 @@ def run_video(args, tester):
                 "YouTube download failed (install pytube or yt-dlp, "
                 "and check the url)"
             )
+    # per-video frame dir: reusing one "frames" dir across videos would
+    # leave stale frames from a longer previous video in the sequence
+    stem = osp.splitext(osp.basename(vid_file))[0]
     img_folder, n_frames, _ = video_to_images(
-        vid_file, osp.join(out_dir, "frames"), return_info=True
+        vid_file, osp.join(out_dir, f"frames_{stem}"), return_info=True
     )
     t0 = time.time()
     if args.tracking_method == "pose":
@@ -252,9 +257,7 @@ def main():
     args = parser.parse_args()
     if args.exp:
         # reference demo.py:60-87: experiment tag folds into output paths
-        args.output_folder = os.path.join(
-            args.output_folder.rstrip("/") + "_" + args.exp
-        )
+        args.output_folder = args.output_folder.rstrip("/") + "_" + args.exp
 
     if args.mode == "webcam":
         raise NotImplementedError(

@@ -665,8 +665,12 @@ class PocoTester:
                 "orig_cam": orig_cam,
                 "joints3d": out["smpl_joints3d"],
                 "smpl_joints2d": joints2d_orig,
-                "frame_ids": track["frames"],
-                "bboxes": track["bbox"],
+                # the dataset's frames/bboxes, NOT the raw track's:
+                # pose tracks have no 'bbox' (posetracker contract) and
+                # InferenceDataset drops frames without a valid smoothed
+                # bbox — result rows must stay aligned with frame ids
+                "frame_ids": np.asarray(dataset.frames),
+                "bboxes": dataset.bboxes,
                 "var": var if var is not None else np.zeros(1),
                 "var_global": gvar if gvar is not None else np.zeros(1),
             }

@@ -30,6 +30,7 @@ _SRC = osp.join(osp.dirname(osp.abspath(__file__)), "native", "poco_loader.cpp")
 _SO = osp.join(osp.dirname(osp.abspath(__file__)), "native", "libpoco_loader.so")
 
 MAX_H, MAX_W = 4096, 4096
+_TLS = threading.local()  # per-thread reusable decode buffer
 
 
 def _build() -> str | None:
@@ -99,7 +100,12 @@ def decode_jpeg(data: bytes | str) -> np.ndarray:
     if isinstance(data, str):
         with open(data, "rb") as f:
             data = f.read()
-    buf = np.empty((MAX_H, MAX_W, 3), np.uint8)
+    # reuse one decode buffer per thread: a fresh 48 MB allocation per
+    # item would dominate the per-item fallback path
+    buf = getattr(_TLS, "decode_buf", None)
+    if buf is None:
+        buf = np.empty((MAX_H, MAX_W, 3), np.uint8)
+        _TLS.decode_buf = buf
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.poco_decode_jpeg(

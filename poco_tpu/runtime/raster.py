@@ -70,11 +70,16 @@ def raster_mesh(
     faces: np.ndarray,
     face_rgb: np.ndarray,
     onscreen: np.ndarray,
-) -> None:
-    """Rasterize flat-shaded triangles into `overlay` in place.
+) -> np.ndarray:
+    """Rasterize flat-shaded triangles over `overlay`; RETURNS the result.
+
+    The input is normalized with np.ascontiguousarray (which copies for
+    non-float32 / non-contiguous input), so callers must use the RETURN
+    VALUE — the argument is only mutated when it happened to be a
+    contiguous float32 array.
 
     Args:
-        overlay: (H, W, 3) float32 RGB, pre-filled with the background.
+        overlay: (H, W, 3) RGB, pre-filled with the background.
         uv: (V, 2) float32 pixel coords.
         face_z: (F,) float32 mean depth (bigger = closer = wins).
         faces: (F, 3) int64 vertex indices.

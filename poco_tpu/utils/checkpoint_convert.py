@@ -427,17 +427,27 @@ def get_model_path(logdir: str, inf_model: str = "best") -> str:
         "best": os.path.join(logdir, "best_model"),
         "best_mpjpe_var": os.path.join(logdir, "best_model_mpjpe_var"),
         "last": os.path.join(logdir, "last"),
+        "latest": os.path.join(logdir, "last"),  # demo.py help alias
     }
     path = candidates.get(inf_model)
     if path and os.path.exists(path):
         return path
+
+    def _is_checkpoint(c: str) -> bool:
+        if c.endswith((".pt", ".ckpt")):
+            return True
+        # orbax checkpoint dirs carry metadata/manifest markers; plain
+        # logdir folders (code/, images/, rendered/...) must not win the
+        # newest-entry fallback
+        return os.path.isdir(c) and any(
+            os.path.exists(os.path.join(c, m))
+            for m in ("_METADATA", "manifest.ocdbt", "d", "_CHECKPOINT_METADATA")
+        )
+
     ckpts = sorted(
-        glob.glob(os.path.join(logdir, "*")), key=os.path.getmtime
+        (c for c in glob.glob(os.path.join(logdir, "*")) if _is_checkpoint(c)),
+        key=os.path.getmtime,
     )
-    ckpts = [
-        c for c in ckpts
-        if os.path.isdir(c) or c.endswith((".pt", ".ckpt"))
-    ]
     if not ckpts:
         raise FileNotFoundError(f"no checkpoint in {logdir}")
     return ckpts[-1]

@@ -20,7 +20,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or DEFAULT_DIR
     )
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        # unwritable default (e.g. non-root user): degrade to no cache
+        return
     import jax
 
     try:

@@ -544,3 +544,32 @@ class TestBatchedUncertDetector:
         for b, s in zip(batched, single):
             assert b.shape == s.shape
             np.testing.assert_allclose(b, s, atol=1e-2)
+
+
+class TestPoseTrackVideo:
+    def test_run_on_video_with_joints2d_tracks(self, frame_folder):
+        """Pose-tracking tracks carry joints2d + frames but NO bbox
+        (pose_tracker contract); run_on_video must derive bboxes and
+        keep result rows aligned with the frames the dataset kept."""
+        tester = _tiny_tester()
+        rng = np.random.RandomState(0)
+        n_frames = 4
+        # visible keypoints around a moving center
+        joints2d = np.zeros((n_frames, 12, 3), np.float32)
+        for t in range(n_frames):
+            c = np.array([60.0 + 5 * t, 50.0])
+            joints2d[t, :, :2] = c + rng.randn(12, 2) * 12
+            joints2d[t, :, 2] = 1.0
+        tracks = {
+            0: {
+                "joints2d": joints2d,
+                "frames": np.arange(n_frames, dtype=np.int64),
+            }
+        }
+        results = tester.run_on_video(frame_folder, tracks=tracks)
+        assert 0 in results
+        r = results[0]
+        n = len(r["frame_ids"])
+        assert r["verts"].shape[0] == n
+        assert r["bboxes"].shape == (n, 4)
+        assert np.isfinite(r["bboxes"]).all()
