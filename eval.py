@@ -74,15 +74,39 @@ def main():
     variables = init_poco(model, jax.random.PRNGKey(0), smpl)
 
     if args.ckpt:
-        variables = load_checkpoint_into(variables, args.ckpt, model.cfg)
+        variables = load_checkpoint_into(
+            variables, args.ckpt, model.cfg,
+            inf_model=str(
+                getattr(hparams.TESTING, "INF_MODEL", "best") or "best"
+            ),
+        )
 
-    npz = os.path.join(
-        hparams.DATASET.DATA_DIR, "dataset_extras", f"{ds_name}_test.npz"
-    )
+    from poco_tpu.config import dataset_npz_path
+
+    npz = dataset_npz_path(hparams.DATASET.DATA_DIR, ds_name, is_train=False)
     dataset = PocoDataset(
         npz, img_dir=hparams.DATASET.DATA_DIR, dataset_name=ds_name,
         is_train=False,
+        options={
+            "IMG_RES": hparams.DATASET.IMG_RES,
+            "UNCERT_THRESHOLD": hparams.DATASET.UNCERT_THRESHOLD,
+            "TEST_ROT": hparams.TESTING.TEST_ROT,
+            "TEST_SCALE": hparams.TESTING.TEST_SCALE,
+        },
     )
+
+    # H36M 17-joint regressor: the reference 3DPW protocol
+    # (eval_utils.py:62-75); asset-gated like the SMPL pkl — the
+    # SMPL-skeleton fallback is used when absent.
+    j_reg = None
+    reg_path = os.path.join(
+        hparams.DATASET.DATA_DIR, "J_regressor_h36m.npy"
+    )
+    if os.path.exists(reg_path):
+        import numpy as _np
+
+        j_reg = jax.numpy.asarray(_np.load(reg_path), jax.numpy.float32)
+        print(f"using H36M eval regressor: {reg_path}")
 
     result = run_eval(
         model, variables, dataset,
@@ -91,6 +115,7 @@ def main():
         smpl_female=resolve_smpl_params(args.smpl_dir, "female"),
         batch_size=args.batch_size,
         loss_ver=hparams.POCO.LOSS_VER,
+        j_regressor_eval=j_reg,
     )
     summary = result.summary()
     report = pw3d_split_report(

@@ -37,10 +37,18 @@ class CfgNode(dict):
     def clone(self) -> "CfgNode":
         return copy.deepcopy(self)
 
-    def merge_from_dict(self, other: dict) -> None:
+    def merge_from_dict(self, other: dict, _path: str = "") -> None:
         for k, v in other.items():
+            if k not in self:
+                # yacs parity (reference merge_from_file raises on keys
+                # absent from the defaults): a typo'd override must not
+                # silently do nothing. The defaults tree is a superset
+                # of the reference's keys, so reference YAMLs merge.
+                raise KeyError(
+                    f"unknown config key {_path}{k!r} (not in defaults)"
+                )
             if isinstance(v, dict) and isinstance(self.get(k), dict):
-                self[k].merge_from_dict(v)
+                self[k].merge_from_dict(v, _path=f"{_path}{k}.")
             else:
                 self[k] = v
 
@@ -55,6 +63,44 @@ class CfgNode(dict):
         }
 
 
+# npz filename registry (reference config.py:66-81, DATASET_FILES):
+# [0] = eval/test files, [1] = train files. Names not listed fall back
+# to the synthesized <name>_{test,train}.npz convention.
+DATASET_FILES = [
+    {
+        "3dpw": "3dpw_test_with_mmpose.npz",
+        "3doh": "3doh_test.npz",
+    },
+    {
+        "h36m": "h36m_train.npz",
+        "mpii": "mpii_train.npz",
+        "coco": "coco_2014_train.npz",
+        "lspet": "hr-lspet_train.npz",
+        "mpi-inf-3dhp-spin": "mpi_inf_3dhp_spin_train.npz",
+        "3dpw": "3dpw_train.npz",
+        "3doh": "3doh_train.npz",
+        "charades": "charades_train.npz",
+    },
+]
+
+
+def dataset_npz_path(data_dir: str, name: str, is_train: bool) -> str:
+    """Resolve a dataset's npz file per the reference registry, with the
+    synthesized fallback; prefers whichever actually exists on disk."""
+    registry = DATASET_FILES[1 if is_train else 0]
+    suffix = "train" if is_train else "test"
+    candidates = []
+    if name in registry:
+        candidates.append(registry[name])
+    candidates.append(f"{name}_{suffix}.npz")
+    for fname in candidates:
+        path = os.path.join(data_dir, "dataset_extras", fname)
+        if os.path.exists(path):
+            return path
+    # nothing on disk: return the registry-preferred path for the error
+    return os.path.join(data_dir, "dataset_extras", candidates[0])
+
+
 def _node(d: dict) -> CfgNode:
     out = CfgNode()
     for k, v in d.items():
@@ -67,12 +113,17 @@ def get_hparams_defaults() -> CfgNode:
     return _node(
         {
             "LOG_DIR": "logs/experiments",
-            "METHOD": "poco",
+            "METHOD": "spin",  # reference default (config.py:89); shipped
+            # configs set METHOD explicitly
             "EXP_NAME": "default",
             "EXP_ID": "",
             "RUN_TEST": False,
             "SEED_VALUE": -1,
             "PREF_LOGGER": "jsonl",
+            # reference-compat keys (inert here; kept so reference YAMLs
+            # merge cleanly under the strict unknown-key check)
+            "CONDOR_DIR": "condor_logs",
+            "PL_LOGGING": True,
             "DATASET": {
                 "DATA_DIR": "data",
                 "NOISE_FACTOR": 0.4,
@@ -96,6 +147,13 @@ def get_hparams_defaults() -> CfgNode:
                 "USE_SYNTHETIC_OCCLUSION": False,
                 "OCC_AUG_DATASET": "pascal",
                 "UNCERT_THRESHOLD": 0.3,
+                # reference-compat (config.py:106-121); no pin_memory /
+                # dataset-class selection knobs in the TPU loader
+                "PIN_MEMORY": True,
+                "DATASET_TYPE": "BaseDataset",
+                "RESCALE_FAC": 0.224,
+                "DATA_TYPE": "eft_data",
+                "MIXED_TYPE": "EFTMixed",
             },
             "OPTIMIZER": {
                 "TYPE": "adam",
@@ -108,6 +166,7 @@ def get_hparams_defaults() -> CfgNode:
                 "LR_PLATEAU_FACTOR": 0.5,
                 "LR_PLATEAU_PATIENCE": 5,
                 "LR_MIN": 1e-7,
+                "AMSGRAD": False,  # reference-compat (config.py:133)
             },
             "TRAINING": {
                 "RESUME": None,
@@ -124,6 +183,13 @@ def get_hparams_defaults() -> CfgNode:
                 "NUM_DEVICES": 1,
                 "PRECISION": 32,
                 "GRAD_CLIP_VAL": 0.0,
+                # differentiable render / part-segm losses via the soft
+                # rasterizer (functional where the reference ships broken)
+                "USE_SMPL_RENDER_LOSS": False,
+                "USE_SMPL_SEGM_LOSS": False,
+                # reference-compat: DDP knobs replaced by the SPMD mesh
+                "DIST_BACK": "ddp",
+                "NUM_GPUS": 1,
             },
             "TESTING": {
                 "SAVE_IMAGES": False,
@@ -132,6 +198,10 @@ def get_hparams_defaults() -> CfgNode:
                 "TEST_ROT": 0,
                 "TEST_SCALE": 1.0,
                 "INF_MODEL": "best",
+                # reference-compat (config.py:162-164)
+                "LOG_FREQ_TB_IMAGES": 50,
+                "DISP_ALL": True,
+                "DATASET_TYPE": "BaseDataset",
             },
             "SPIN": {
                 "BACKBONE": "resnet50",
@@ -144,6 +214,9 @@ def get_hparams_defaults() -> CfgNode:
                 "OPENPOSE_TRAIN_WEIGHT": 0.0,
                 "GT_TRAIN_WEIGHT": 1.0,
                 "LOSS_WEIGHT": 60.0,
+                # reference-compat (config.py:178-180)
+                "SMPL_RENDER_LOSS_WEIGHT": 1.0,
+                "SMPL_SEGM_LOSS_WEIGHT": 1.0,
             },
             "POCO": {
                 "BACKBONE": "resnet50",
@@ -166,6 +239,11 @@ def get_hparams_defaults() -> CfgNode:
                 "GT_POSE_COND": False,
                 "GT_POSE_COND_DS": "h36m",
                 "GT_POSE_COND_RATIO": 0.25,
+                # reference-compat (config.py:178-180, 220, 224)
+                "GENG_LOSS_WEIGHT": 1.0,
+                "SMPL_RENDER_LOSS_WEIGHT": 1.0,
+                "SMPL_SEGM_LOSS_WEIGHT": 1.0,
+                "UNCERT_STATS_FILE": "",
                 "SHAPE_LOSS_WEIGHT": 0.0,
                 "KEYPOINT_3D_LOSS_WEIGHT": 5.0,
                 "KEYPOINT_2D_LOSS_WEIGHT": 2.5,
@@ -180,7 +258,12 @@ def get_hparams_defaults() -> CfgNode:
                 "NF_LOSS_WEIGHT": 1.0,
                 "USE_KEYCONF": False,
                 "LOSS_WEIGHT": 60.0,
-                "LOSS_VER": "norm_flow_res_gaus",
+                # Reference default verbatim (config.py:223). NOTE the extra "s":
+                # the loss code only recognizes "norm_flow_res_gaus", so a
+                # config omitting LOSS_VER gets a ZERO pose-uncertainty loss
+                # in the reference and here alike; shipped configs set the
+                # recognized value explicitly.
+                "LOSS_VER": "norm_flow_res_gauss",
                 "LOG_TRAIN_UNCERT": 100,
                 "LOG_UNCERT_STAT": 5,
             },
@@ -351,6 +434,12 @@ def loss_config_from_hparams(hparams: CfgNode):
         openpose_train_weight=p.OPENPOSE_TRAIN_WEIGHT,
         gt_train_weight=p.GT_TRAIN_WEIGHT,
         loss_weight=p.LOSS_WEIGHT,
+    )
+    kwargs.update(
+        use_smpl_render_loss=bool(hparams.TRAINING.USE_SMPL_RENDER_LOSS),
+        use_smpl_segm_loss=bool(hparams.TRAINING.USE_SMPL_SEGM_LOSS),
+        smpl_render_loss_weight=p.SMPL_RENDER_LOSS_WEIGHT,
+        smpl_segm_loss_weight=p.SMPL_SEGM_LOSS_WEIGHT,
     )
     if hparams.METHOD == "poco":
         kwargs.update(

@@ -94,7 +94,7 @@ class PocoDataset:
         self.use_augmentation = use_augmentation
         self.options = dict(
             FLIP=True, NOISE_FACTOR=0.4, ROT_FACTOR=30.0, SCALE_FACTOR=0.25,
-            IMG_RES=IMG_RES, UNCERT_THRESHOLD=0.15,
+            IMG_RES=IMG_RES, UNCERT_THRESHOLD=0.3,  # config.py:98 / reference :125
             TEST_ROT=0.0, TEST_SCALE=1.0,
         )
         self.options.update(options or {})

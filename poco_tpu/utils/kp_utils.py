@@ -90,7 +90,17 @@ JOINT_NAME_REGISTRY: dict[str, list[str]] = {
     "mpii": MPII_JOINT_NAMES,
     "common": COMMON_JOINT_NAMES,
     "3dpw": PW3D_JOINT_NAMES,
-    "smpl": SMPL_JOINT_NAMES,
+    # the reference's CamelCase names (get_smpl_joint_names,
+    # kp_utils.py:795-821) — NOT the snake_case display names: these
+    # deliberately match no other registry, so convert_kps to/from
+    # 'smpl' returns zero rows exactly as the reference does
+    "smpl": [
+        "Hips", "L_Hip", "R_Hip", "Spine1", "L_Knee", "R_Knee",
+        "Spine2", "L_Ankle", "R_Ankle", "Spine3", "L_Foot", "R_Foot",
+        "Neck", "L_Collar", "R_Collar", "Head", "L_Shoulder",
+        "R_Shoulder", "L_Elbow", "R_Elbow", "L_Wrist", "R_Wrist",
+        "L_Hand", "R_Hand",
+    ],
     "mpii3d_test": MPII3D_TEST_JOINT_NAMES,
     "mpii3d": MPII3D_JOINT_NAMES,
     "posetrack": POSETRACK_JOINT_NAMES,
@@ -151,19 +161,22 @@ def get_smpl_skeleton() -> np.ndarray:
 
 def get_smpl_neighbor_triplets() -> list[list[int]]:
     """[joint, neighbor1, neighbor2] per SMPL joint — used by PARE's
-    neighbor-conditioned iterative regression (kp_utils.py:852-879)."""
-    edges = get_smpl_skeleton()
-    neighbors: dict[int, list[int]] = {j: [] for j in range(24)}
-    for p, c in edges:
-        neighbors[p].append(c)
-        neighbors[c].append(p)
-    out = []
-    for j in range(24):
-        ns = neighbors[j][:2]
-        while len(ns) < 2:
-            ns.append(j)
-        out.append([j] + ns)
-    return out
+    neighbor-conditioned iterative regression.
+
+    Interop DATA TABLE transcribed verbatim from the reference
+    (kp_utils.py:852-879): the neighbor choice and ORDER are part of the
+    converted-checkpoint contract (pare_head concatenates per-joint
+    features in this order); deriving the triplets from the skeleton
+    edge list reproduces neither (verified divergent in 13/24 rows).
+    """
+    return [
+        [0, 1, 2], [1, 4, 0], [2, 0, 5], [3, 0, 6],
+        [4, 7, 1], [5, 2, 8], [6, 3, 9], [7, 10, 4],
+        [8, 5, 11], [9, 13, 14], [10, 7, 4], [11, 8, 5],
+        [12, 9, 15], [13, 16, 9], [14, 9, 17], [15, 9, 12],
+        [16, 18, 13], [17, 14, 19], [18, 20, 16], [19, 17, 21],
+        [20, 22, 18], [21, 19, 23], [22, 20, 18], [23, 19, 21],
+    ]
 
 
 def compute_oks(
@@ -174,8 +187,15 @@ def compute_oks(
 ) -> np.ndarray:
     """Object-keypoint-similarity per sample over the 14 common joints.
 
-    Reference contract: eval_utils.py:120-151 — used for the
-    OKS-vs-confidence correlation sanity metric.
+    Deliberate divergence from the reference's conf_oks_correlation
+    (eval_utils.py:120-151): that version ships with the per-joint
+    kappas commented out (kappa = ones), uses a per-coordinate MSE as
+    "distance", and scales by 1/num_samples — this is the standard COCO
+    OKS formula instead (real kappas, squared Euclidean distance,
+    visibility-weighted mean). Used only for the OKS-vs-confidence
+    correlation sanity metric, where the aggregation choice shifts the
+    statistic slightly; not comparable number-for-number with reference
+    logs.
 
     Args:
         pred_kp, gt_kp: (B, 14, 2+) keypoints (conf in last GT channel if

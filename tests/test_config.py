@@ -22,8 +22,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 class TestDefaults:
     def test_tree_structure(self):
         h = get_hparams_defaults()
-        assert h.METHOD == "poco"
-        assert h.POCO.LOSS_VER == "norm_flow_res_gaus"
+        assert h.METHOD == "spin"  # reference default (config.py:89)
+        # reference default VERBATIM incl. the extra "s" (config.py:223);
+        # the recognized value is set explicitly by shipped configs
+        assert h.POCO.LOSS_VER == "norm_flow_res_gauss"
         assert h.OPTIMIZER.LR == 0.0001
         assert h.DATASET.IMG_RES == 224
 

@@ -34,6 +34,7 @@ def _tiny_tester(batch_size=8):
     from poco_tpu.demo.tester import PocoTester
 
     h = get_hparams_defaults()
+    h.METHOD = "poco"
     h.POCO.BACKBONE = "tiny-cliff"
     h.POCO.NUM_NEURONS = "216-"
     h.POCO.SIGMA_DIM = 1

@@ -310,6 +310,7 @@ class TestTrainerEndToEnd:
 class TestTrainerVizAndStats:
     def test_save_images_and_uncert_stats(self, tmp_path):
         h = get_hparams_defaults()
+        h.METHOD = "poco"
         h.LOG_DIR = str(tmp_path)
         h.POCO.BACKBONE = "tiny-cliff"
         h.POCO.NUM_NEURONS = "216-"

@@ -27,8 +27,10 @@ def build_train_dataset_factory(hparams, options):
 
     data_dir = hparams.DATASET.DATA_DIR
 
+    from poco_tpu.config import dataset_npz_path
+
     def load_ds(name: str, seed: int = 0):
-        npz = os.path.join(data_dir, "dataset_extras", f"{name}_train.npz")
+        npz = dataset_npz_path(data_dir, name, is_train=True)
         return PocoDataset(
             npz, img_dir=data_dir, dataset_name=name, is_train=True,
             use_augmentation=hparams.TRAINING.USE_AUGM,
@@ -112,9 +114,8 @@ def main():
         "UNCERT_THRESHOLD": hparams.DATASET.UNCERT_THRESHOLD,
     }
 
-    val_npz = os.path.join(
-        hparams.DATASET.DATA_DIR, "dataset_extras",
-        f"{hparams.DATASET.VAL_DS}_test.npz",
+    val_npz = dataset_npz_path(
+        hparams.DATASET.DATA_DIR, hparams.DATASET.VAL_DS, is_train=False
     )
     val_dataset = (
         PocoDataset(
