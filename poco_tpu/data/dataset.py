@@ -174,7 +174,12 @@ class PocoDataset:
             from ..runtime import loader as native_loader
 
             if native_loader.native_available():
-                return native_loader.decode_jpeg(path).astype(np.float32)
+                try:
+                    return native_loader.decode_jpeg(path).astype(np.float32)
+                except (ValueError, OSError):
+                    # non-JPEG content, oversize, or EXIF-rotated file:
+                    # fall through to cv2 (which applies EXIF)
+                    pass
         img = cv2.imread(path)
         if img is None:
             # Transient-FS retry (reference base_dataset.py:276-283 sleeps

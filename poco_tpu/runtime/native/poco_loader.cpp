@@ -40,7 +40,55 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG byte buffer to RGB8. Returns 0 on success.
+
+// Scan JPEG APP1 for the EXIF Orientation tag (0x0112). Returns the
+// orientation value (1..8) or 1 when absent/unparseable.
+int exif_orientation(const uint8_t* d, size_t n) {
+  if (n < 4 || d[0] != 0xFF || d[1] != 0xD8) return 1;
+  size_t i = 2;
+  while (i + 4 <= n) {
+    if (d[i] != 0xFF) return 1;
+    const uint8_t marker = d[i + 1];
+    if (marker == 0xDA || marker == 0xD9) return 1;  // SOS/EOI: no EXIF
+    const size_t seg = (static_cast<size_t>(d[i + 2]) << 8) | d[i + 3];
+    if (seg < 2 || i + 2 + seg > n) return 1;
+    if (marker == 0xE1 && seg >= 16 &&
+        std::memcmp(d + i + 4, "Exif\0\0", 6) == 0) {
+      const uint8_t* t = d + i + 10;          // TIFF header
+      const size_t tn = seg - 8;
+      if (tn < 8) return 1;
+      const bool le = t[0] == 'I';
+      auto rd16 = [&](size_t off) -> uint32_t {
+        return le ? (t[off] | (t[off + 1] << 8))
+                  : ((t[off] << 8) | t[off + 1]);
+      };
+      auto rd32 = [&](size_t off) -> uint32_t {
+        return le ? (t[off] | (t[off + 1] << 8) | (t[off + 2] << 16) |
+                     (static_cast<uint32_t>(t[off + 3]) << 24))
+                  : ((static_cast<uint32_t>(t[off]) << 24) |
+                     (t[off + 1] << 16) | (t[off + 2] << 8) | t[off + 3]);
+      };
+      const size_t ifd = rd32(4);
+      if (ifd + 2 > tn) return 1;
+      const uint32_t count = rd16(ifd);
+      for (uint32_t e = 0; e < count; ++e) {
+        const size_t off = ifd + 2 + 12 * static_cast<size_t>(e);
+        if (off + 12 > tn) return 1;
+        if (rd16(off) == 0x0112) {
+          const uint32_t v = rd16(off + 8);
+          return (v >= 1 && v <= 8) ? static_cast<int>(v) : 1;
+        }
+      }
+      return 1;
+    }
+    i += 2 + seg;
+  }
+  return 1;
+}
+
+// Decode a JPEG byte buffer to RGB8. Returns 0 on success,
+// -1 decode error, -2 over max size, -4 EXIF-rotated (caller
+// must fall back to an EXIF-aware decoder, e.g. cv2).
 int decode_jpeg_impl(const uint8_t* data, size_t size, uint8_t* out,
                      int max_h, int max_w, int* out_h, int* out_w) {
   jpeg_decompress_struct cinfo;
@@ -51,6 +99,7 @@ int decode_jpeg_impl(const uint8_t* data, size_t size, uint8_t* out,
     jpeg_destroy_decompress(&cinfo);
     return -1;
   }
+  if (exif_orientation(data, size) != 1) return -4;
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
                static_cast<unsigned long>(size));
@@ -67,6 +116,47 @@ int decode_jpeg_impl(const uint8_t* data, size_t size, uint8_t* out,
   *out_w = w;
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+
+// Decode into a resizable buffer sized from the JPEG header (so worker
+// threads allocate per-image, not 48 MB up front). Same status codes.
+int decode_jpeg_vec(const uint8_t* data, size_t size,
+                    std::vector<uint8_t>& out_vec,
+                    int max_h, int max_w, int* out_h, int* out_w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  if (exif_orientation(data, size) != 1) return -4;
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int h = static_cast<int>(cinfo.output_height);
+  const int w = static_cast<int>(cinfo.output_width);
+  if (h > max_h || w > max_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  if (out_vec.size() < static_cast<size_t>(h) * w * 3)
+    out_vec.resize(static_cast<size_t>(h) * w * 3);
+  *out_h = h;
+  *out_w = w;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row =
+        out_vec.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -152,6 +242,12 @@ std::vector<uint8_t> read_file(const char* path) {
   std::fseek(f, 0, SEEK_END);
   const long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  // reject ftell errors and absurd sizes (a mislabeled multi-GB file
+  // must become statuses=-3, not a bad_alloc out of a worker thread)
+  if (size < 0 || size > (512L << 20)) {
+    std::fclose(f);
+    return buf;
+  }
   buf.resize(static_cast<size_t>(size));
   if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) buf.clear();
   std::fclose(f);
@@ -187,24 +283,28 @@ void poco_batch_decode_crop(const char** paths, int n,
   num_threads = std::min(num_threads, n);
 
   auto worker = [&](int tid) {
-    std::vector<uint8_t> decode_buf(
-        static_cast<size_t>(max_h) * max_w * 3);
+    // reused per-thread buffer, grown to the largest image actually
+    // seen (NOT max_h*max_w*3 = 48 MB up front)
+    std::vector<uint8_t> decode_buf;
     for (int i = tid; i < n; i += num_threads) {
+      try {
       std::vector<uint8_t> bytes = read_file(paths[i]);
       if (bytes.empty()) {
         statuses[i] = -3;
         continue;
       }
       int h = 0, w = 0;
-      const int rc = decode_jpeg_impl(bytes.data(), bytes.size(),
-                                      decode_buf.data(), max_h, max_w,
-                                      &h, &w);
+      const int rc = decode_jpeg_vec(bytes.data(), bytes.size(),
+                                     decode_buf, max_h, max_w, &h, &w);
       statuses[i] = rc;
       if (rc != 0) continue;
       affine_crop_impl(decode_buf.data(), h, w,
                        centers[2 * i], centers[2 * i + 1], bbox_sizes[i],
                        out_res,
                        out + static_cast<size_t>(i) * out_res * out_res * 3);
+      } catch (...) {
+        statuses[i] = -3;  // no exception may escape a worker thread
+      }
     }
   };
 
@@ -231,18 +331,19 @@ void poco_batch_decode_affine(const char** paths, int n,
   num_threads = std::min(num_threads, n);
 
   auto worker = [&](int tid) {
-    std::vector<uint8_t> decode_buf(
-        static_cast<size_t>(max_h) * max_w * 3);
+    // reused per-thread buffer, grown to the largest image actually
+    // seen (NOT max_h*max_w*3 = 48 MB up front)
+    std::vector<uint8_t> decode_buf;
     for (int i = tid; i < n; i += num_threads) {
+      try {
       std::vector<uint8_t> bytes = read_file(paths[i]);
       if (bytes.empty()) {
         statuses[i] = -3;
         continue;
       }
       int h = 0, w = 0;
-      const int rc = decode_jpeg_impl(bytes.data(), bytes.size(),
-                                      decode_buf.data(), max_h, max_w,
-                                      &h, &w);
+      const int rc = decode_jpeg_vec(bytes.data(), bytes.size(),
+                                     decode_buf, max_h, max_w, &h, &w);
       statuses[i] = rc;
       if (rc != 0) continue;
       dims[2 * i] = h;
@@ -250,6 +351,9 @@ void poco_batch_decode_affine(const char** paths, int n,
       affine_warp_impl(decode_buf.data(), h, w,
                        affines + 6 * i, gains + 3 * i, out_res,
                        out + static_cast<size_t>(i) * out_res * out_res * 3);
+      } catch (...) {
+        statuses[i] = -3;  // no exception may escape a worker thread
+      }
     }
   };
 

@@ -36,10 +36,20 @@ extern "C" void poco_raster_mesh(
         const float x1 = uv[2 * tri[1]], y1 = uv[2 * tri[1] + 1];
         const float x2 = uv[2 * tri[2]], y2 = uv[2 * tri[2] + 1];
 
-        int minx = std::max(0, (int)std::floor(std::min({x0, x1, x2})));
-        int maxx = std::min(w - 1, (int)std::ceil(std::max({x0, x1, x2})));
-        int miny = std::max(0, (int)std::floor(std::min({y0, y1, y2})));
-        int maxy = std::min(h - 1, (int)std::ceil(std::max({y0, y1, y2})));
+        // clamp in FLOAT before the int cast: a blown-up camera can put
+        // a vertex past int range, and float->int overflow is UB
+        const float fminx =
+            std::min(std::max(std::min({x0, x1, x2}), 0.f), (float)(w - 1));
+        const float fmaxx =
+            std::min(std::max(std::max({x0, x1, x2}), 0.f), (float)(w - 1));
+        const float fminy =
+            std::min(std::max(std::min({y0, y1, y2}), 0.f), (float)(h - 1));
+        const float fmaxy =
+            std::min(std::max(std::max({y0, y1, y2}), 0.f), (float)(h - 1));
+        const int minx = (int)std::floor(fminx);
+        const int maxx = (int)std::ceil(fmaxx);
+        const int miny = (int)std::floor(fminy);
+        const int maxy = (int)std::ceil(fmaxy);
         if (minx > maxx || miny > maxy) continue;
 
         float area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0);

@@ -186,3 +186,64 @@ class TestBatchAffine:
                     batch_native[key], batch_items[key], atol=1e-5,
                     err_msg=key,
                 )
+
+
+class TestExifHandling:
+    def test_exif_rotated_jpeg_falls_back(self, tmp_path):
+        """JPEGs with EXIF Orientation != 1 must NOT decode natively
+        (libjpeg ignores EXIF; cv2 applies it): the native decoder
+        rejects them and the dataset path falls back to cv2."""
+        from poco_tpu.runtime import loader as native_loader
+
+        if not native_loader.native_available():
+            pytest.skip("no native toolchain")
+        img = (np.random.RandomState(0).rand(32, 48, 3) * 255).astype(
+            np.uint8
+        )
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        data = enc.tobytes()
+        # splice a minimal EXIF APP1 with Orientation=6 after SOI
+        tiff = (
+            b"II*\x00\x08\x00\x00\x00"          # TIFF header, IFD at 8
+            + b"\x01\x00"                        # 1 entry
+            + b"\x12\x01\x03\x00\x01\x00\x00\x00\x06\x00\x00\x00"
+            + b"\x00\x00\x00\x00"                # next IFD
+        )
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+        exif_jpeg = data[:2] + app1 + data[2:]
+
+        with pytest.raises(ValueError):
+            native_loader.decode_jpeg(exif_jpeg)
+        # plain (orientation-free) jpeg still decodes natively
+        out = native_loader.decode_jpeg(data)
+        assert out.shape == (32, 48, 3)
+
+    def test_dataset_load_image_survives_native_reject(
+        self, tmp_path, monkeypatch
+    ):
+        """_load_image falls back to cv2 when native decode rejects
+        (e.g. PNG content behind a .jpg extension)."""
+        from poco_tpu.data.dataset import PocoDataset
+
+        img = (np.random.RandomState(1).rand(20, 24, 3) * 255).astype(
+            np.uint8
+        )
+        # PNG bytes with a .jpg name: native decode errors, cv2 decodes
+        path = tmp_path / "fake.jpg"
+        ok, enc = cv2.imencode(".png", img)
+        path.write_bytes(enc.tobytes())
+        np.savez(
+            tmp_path / "ann.npz",
+            imgname=np.array(["fake.jpg"]),
+            center=np.array([[12.0, 10.0]], np.float32),
+            scale=np.array([0.2], np.float32),
+        )
+        monkeypatch.setenv("POCO_TPU_NATIVE_LOADER", "1")
+        ds = PocoDataset(
+            str(tmp_path / "ann.npz"), img_dir=str(tmp_path),
+            is_train=False,
+        )
+        out = ds._load_image(0)
+        assert out.shape == (20, 24, 3)
