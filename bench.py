@@ -1,15 +1,24 @@
-"""Headline benchmark: POCO-CLIFF inference throughput (crops/sec/chip).
+"""Headline benchmarks: POCO-CLIFF + POCO-PARE inference and the
+bf16 training step, all as crops/sec/chip with median + spread.
 
-Runs the flagship fused pipeline — normalized 224px crops through
-HRNet-W48 -> CLIFF head -> SMPL LBS (full 6890-vertex mesh) -> projection
--> uncertainty head — as one jitted XLA program on the available device,
-and reports crops/sec/chip.
+Each inference bench runs the flagship fused pipeline — normalized 224px
+crops through the backbone -> head -> SMPL LBS (full 6890-vertex mesh)
+-> projection -> uncertainty head — as one jitted XLA program on the
+available device. The train bench measures the full fwd+bwd+Adam step
+(HRNet-W48 + CLIFF + flow loss) with the slope protocol.
 
 Baseline contract (BASELINE.md): >2000 crops/sec on a v5e-8 for the
 POCO-CLIFF demo, i.e. 250 crops/sec/chip. `vs_baseline` is
-crops_per_sec_per_chip / 250.
+crops_per_sec_per_chip / 250 (the only driver-defined per-chip target;
+the train metric reuses it as denominator for comparability).
 
-Prints exactly one JSON line.
+Prints exactly ONE JSON line: the POCO-CLIFF headline, with the PARE and
+train-step results under `extra_metrics` (VERDICT r2 #6: all three
+tracked per round with spreads, so drifts are adjudicable).
+
+Env knobs: POCO_BENCH_BATCH (128), POCO_BENCH_ITERS (20),
+POCO_BENCH_CHAINS (5), POCO_BENCH_BF16 (1), POCO_BENCH_ONLY
+(cliff|pare|train — single-metric mode for manual runs).
 """
 
 from __future__ import annotations
@@ -30,22 +39,31 @@ BATCH = int(os.environ.get("POCO_BENCH_BATCH", "128"))
 ITERS = int(os.environ.get("POCO_BENCH_ITERS", "20"))
 WARMUP = 3
 BASELINE_PER_CHIP = 250.0  # 2000 crops/s on 8 chips
+N_CHAINS = int(os.environ.get("POCO_BENCH_CHAINS", "5"))
 
 
-def main():
-    from poco_tpu.models.poco import build_poco_cliff, init_poco
+def _summarize(name: str, unit: str, per_chip_samples: list[float]) -> dict:
+    per_chip_samples = sorted(per_chip_samples)
+    per_chip = float(np.median(per_chip_samples))
+    return {
+        "metric": name,
+        "value": round(per_chip, 2),
+        "unit": unit,
+        "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+        "spread": {
+            "n_chains": len(per_chip_samples),
+            "min": round(per_chip_samples[0], 2),
+            "max": round(per_chip_samples[-1], 2),
+            "all": [round(s, 2) for s in per_chip_samples],
+        },
+    }
+
+
+def bench_inference(which: str, dtype) -> dict:
+    from poco_tpu.config import model_config_from_hparams, update_hparams
+    from poco_tpu.models.poco import POCO, init_poco
     from poco_tpu.smpl.assets import synthetic_smpl_model
 
-    from poco_tpu.config import model_config_from_hparams, update_hparams
-    from poco_tpu.models.poco import POCO
-
-    dtype = (
-        jnp.bfloat16
-        if os.environ.get("POCO_BENCH_BF16", "1") == "1"
-        else jnp.float32
-    )
-    # POCO_BENCH_MODEL=pare benches the second config (POCO-PARE).
-    which = os.environ.get("POCO_BENCH_MODEL", "cliff")
     cfg_file = f"configs/poco_{which}.yaml"
     model = POCO(
         cfg=model_config_from_hparams(update_hparams(cfg_file)), dtype=dtype
@@ -87,44 +105,93 @@ def main():
     chained_run(WARMUP)  # compile + warm
 
     # Subtract the fixed dispatch/fetch overhead (1-step chain) from the
-    # long chain: t_iter = (t_N - t_1) / (N - 1). Take the median over
-    # several chains and report the spread — the device is reached
-    # through a shared tunnel and a single window can be polluted by
-    # other tenants, so round-over-round comparisons need the
-    # distribution, not one sample.
-    n_chains = int(os.environ.get("POCO_BENCH_CHAINS", "5"))
+    # long chain: t_iter = (t_N - t_1) / (N - 1). Median over several
+    # chains with the spread reported — the device sits behind a shared
+    # tunnel, so single windows can be polluted by other tenants.
     samples = []
-    for _ in range(n_chains):
+    for _ in range(N_CHAINS):
         t0 = time.perf_counter()
         chained_run(1)
         dt1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         chained_run(ITERS)
         dt_n = time.perf_counter() - t0
-        samples.append(max(dt_n - dt1, 1e-6) / max(ITERS - 1, 1))
+        samples.append(BATCH / (max(dt_n - dt1, 1e-6) / max(ITERS - 1, 1)))
 
     # The jitted forward runs on exactly ONE device (no sharding), so
     # per-chip throughput is batch/time regardless of how many chips the
-    # host exposes; dividing by device_count would under-report by
-    # n_chips on multi-chip hosts.
-    per_chip_samples = sorted(BATCH / t for t in samples)
-    per_chip = float(np.median(per_chip_samples))
-    print(
-        json.dumps(
-            {
-                "metric": f"poco_{which}_crops_per_sec_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "crops/s/chip",
-                "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
-                "spread": {
-                    "n_chains": n_chains,
-                    "min": round(per_chip_samples[0], 2),
-                    "max": round(per_chip_samples[-1], 2),
-                    "all": [round(s, 2) for s in per_chip_samples],
-                },
-            }
-        )
+    # host exposes.
+    return _summarize(
+        f"poco_{which}_crops_per_sec_per_chip", "crops/s/chip", samples
     )
+
+
+def bench_train_step(dtype) -> dict:
+    from poco_tpu.losses.losses import LossConfig
+    from poco_tpu.models.poco import POCO, PocoConfig, init_poco, make_dummy_batch
+    from poco_tpu.smpl.assets import synthetic_smpl_model
+    from poco_tpu.train.state import create_train_state, make_optimizer
+    from poco_tpu.train.step import make_train_step
+
+    B = int(os.environ.get("POCO_BENCH_TRAIN_BATCH", "64"))
+    model = POCO(cfg=PocoConfig(), dtype=dtype)
+    smpl = synthetic_smpl_model(num_verts=6890)
+    variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
+    state = create_train_state(model, variables, make_optimizer(lr=1e-4))
+    train_step = make_train_step(model, LossConfig(), donate=False)
+    batch = make_dummy_batch(model.cfg, B, include_gt=True)
+    batch.update(
+        pose=jnp.zeros((B, 72), jnp.float32),
+        betas=jnp.zeros((B, 10), jnp.float32),
+        has_smpl=jnp.ones((B,), jnp.float32),
+        has_pose_3d=jnp.ones((B,), jnp.float32),
+        keypoints=jnp.zeros((B, 49, 3), jnp.float32),
+    )
+    rng = jax.random.PRNGKey(1)
+    state, metrics = train_step(state, batch, smpl, rng)  # compile
+    _ = float(metrics["loss/total_loss"])
+
+    def run(n):
+        s = state
+        m = None
+        for _ in range(n):
+            s, m = train_step(s, batch, smpl, rng)
+        return float(m["loss/total_loss"])
+
+    run(1)
+    samples = []
+    for _ in range(N_CHAINS):
+        t0 = time.perf_counter()
+        run(2)
+        d2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(12)
+        d12 = time.perf_counter() - t0
+        samples.append(B / (max(d12 - d2, 1e-9) / 10))
+    return _summarize(
+        "poco_cliff_train_step_crops_per_sec_per_chip",
+        "crops/s/chip", samples,
+    )
+
+
+def main():
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("POCO_BENCH_BF16", "1") == "1"
+        else jnp.float32
+    )
+    only = os.environ.get("POCO_BENCH_ONLY", "")
+    if only == "train":
+        print(json.dumps(bench_train_step(dtype)))
+        return
+    if only in ("cliff", "pare"):
+        print(json.dumps(bench_inference(only, dtype)))
+        return
+
+    headline = bench_inference("cliff", dtype)
+    extras = [bench_inference("pare", dtype), bench_train_step(dtype)]
+    headline["extra_metrics"] = extras
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

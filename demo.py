@@ -51,11 +51,31 @@ def build_tester(args):
             variables, args.ckpt, model_cfg, inf_model=args.inf_model
         )
 
+    maskrcnn = None
+    if args.detector == "maskrcnn":
+        # Reference demo.py:258 accepts yolo|maskrcnn (the torchvision
+        # Mask R-CNN inside its multi-person-tracker). torchvision is a
+        # GPU-era dependency this rebuild treats as optional: use it if
+        # importable with reachable weights, otherwise fall back to the
+        # TPU-native detector chain with a notice (documented
+        # divergence; see tracker.make_maskrcnn_detector).
+        from poco_tpu.demo.tracker import make_maskrcnn_detector
+
+        maskrcnn = make_maskrcnn_detector()
+        if maskrcnn is None:
+            print(
+                "--detector maskrcnn: torchvision (or its pretrained "
+                "weights) is unavailable in this environment; falling "
+                "back to --detector yolo (TPU-native)."
+            )
+            args.detector = "yolo"
     detector = (
         hog_person_detector
         if args.detector in ("hog", "refine")
         else full_frame_detector
     )
+    if maskrcnn is not None:
+        detector = maskrcnn
     if args.detector == "yolo":
         from poco_tpu.demo.yolo import make_yolo_detector
 
@@ -111,6 +131,16 @@ def run_video(args, tester):
     # per-video frame dir: reusing one "frames" dir across videos would
     # leave stale frames from a longer previous video in the sequence
     stem = osp.splitext(osp.basename(vid_file))[0]
+    # Queue the device warmup (weight upload + executable load) BEFORE
+    # frame extraction so it overlaps the host-side ffmpeg work: the
+    # dispatches are async and the shapes only need the probe frame.
+    import cv2 as _cv2
+
+    cap = _cv2.VideoCapture(vid_file)
+    fh = int(cap.get(_cv2.CAP_PROP_FRAME_HEIGHT)) or 256
+    fw = int(cap.get(_cv2.CAP_PROP_FRAME_WIDTH)) or 256
+    cap.release()
+    tester.warmup((fh, fw))
     img_folder, n_frames, _ = video_to_images(
         vid_file, osp.join(out_dir, f"frames_{stem}"), return_info=True
     )
@@ -140,6 +170,7 @@ def run_video(args, tester):
             wireframe=args.wireframe,
             uncert_log=osp.join(out_dir, "uncertainty.log"),
             display=args.display,
+            sideview=args.sideview,
         )
         tag = f"_{args.exp}" if args.exp else ""
         # name from the LOCAL file (vid_file may have been downloaded
@@ -200,10 +231,13 @@ def main():
     parser.add_argument("--output_folder", default="out/demo")
     parser.add_argument(
         "--detector", default="refine",
-        choices=["yolo", "full_frame", "hog", "refine", "uncert"],
+        choices=["yolo", "maskrcnn", "full_frame", "hog", "refine", "uncert"],
         help="yolo: TPU-native YOLOv3 (needs the pretrained "
              "yolov3.weights file — the reference's detector, "
-             "tester.py:113-151); refine (default): proposals (HOG when "
+             "tester.py:113-151); maskrcnn: host-side torchvision Mask "
+             "R-CNN when installed (reference demo.py:258 parity; falls "
+             "back to yolo with a notice otherwise); "
+             "refine (default): proposals (HOG when "
              "the cv2 build ships it, else full-frame) refined by the "
              "model's own predicted keypoints (pose-tracking-quality "
              "boxes); uncert: confidence-guided multi-person detection "

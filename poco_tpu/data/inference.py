@@ -81,8 +81,61 @@ class InferenceDataset:
     def __len__(self) -> int:
         return len(self.frames)
 
+    def load_all(self, num_threads: int = 0) -> dict | None:
+        """Whole-tracklet batch through the native parallel decode+crop.
+
+        One C++ thread-pool call decodes and crops every JPEG frame of
+        the tracklet (the per-item path decodes each frame in Python,
+        the round-2 video-demo profile's 2 s hot spot). Returns the same
+        stacked dict the per-item path produces, or None when the native
+        path does not apply (non-JPEG frames, native lib unavailable) —
+        the caller falls back to per-item loading.
+        """
+        from ..runtime import loader as native_loader
+
+        paths = [str(self.image_files[f]) for f in self.frames]
+        if (
+            not paths
+            or not native_loader.native_available()
+            or not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+        ):
+            return None
+        first = native_loader.read_image_rgb(paths[0])
+        orig_shape = np.array(first.shape[:2], np.float32)
+        centers = np.ascontiguousarray(self.bboxes[:, :2], np.float32)
+        bbox_sizes = (
+            np.maximum(self.bboxes[:, 2], self.bboxes[:, 3])
+            * self.scale_factor
+        ).astype(np.float32)
+        crops, statuses = native_loader.batch_decode_crop(
+            paths, centers, bbox_sizes, self.crop_size, num_threads
+        )
+        if statuses.any():
+            return None
+        n = len(paths)
+        scales = bbox_sizes / 200.0
+        return {
+            "img": crops,
+            "scale": scales,
+            "center": centers,
+            "orig_shape": np.tile(orig_shape, (n, 1)),
+            "focal_length": np.full(
+                n, np.sqrt(orig_shape[0] ** 2 + orig_shape[1] ** 2),
+                np.float32,
+            ),
+            "bbox_info": np.stack(
+                [
+                    calculate_bbox_info_np(c, s, orig_shape)
+                    for c, s in zip(centers, scales)
+                ]
+            ),
+            "frame_id": self.frames.astype(np.int32),
+        }
+
     def __getitem__(self, idx: int) -> dict:
-        img = cv2.imread(self.image_files[self.frames[idx]])[:, :, ::-1]
+        from ..runtime.loader import read_image_rgb
+
+        img = read_image_rgb(self.image_files[self.frames[idx]])
         orig_shape = np.array(img.shape[:2], np.float32)
 
         bbox = self.bboxes[idx]

@@ -53,6 +53,62 @@ def hog_person_detector(img: np.ndarray) -> np.ndarray:
     return np.asarray(boxes, np.float32)
 
 
+def make_maskrcnn_detector(
+    score_thresh: float = 0.7, weights_path: str | None = None
+) -> Detector | None:
+    """Host-side torchvision Mask R-CNN person detector.
+
+    The reference's --detector maskrcnn option (demo.py:258) routes to
+    torchvision's maskrcnn_resnet50_fpn inside its multi-person-tracker.
+    This builds the same model when torchvision is importable and
+    pretrained weights are reachable (hub cache or
+    $POCO_TPU_MASKRCNN_WEIGHTS); returns None otherwise so the CLI can
+    fall back with a notice (documented divergence: torchvision is an
+    optional dependency of this rebuild, not a requirement).
+    """
+    try:
+        import torch
+        import torchvision
+    except ImportError:
+        return None
+    import os
+
+    weights_path = weights_path or os.environ.get(
+        "POCO_TPU_MASKRCNN_WEIGHTS", ""
+    )
+    try:
+        if weights_path:
+            model = torchvision.models.detection.maskrcnn_resnet50_fpn(
+                weights=None, weights_backbone=None
+            )
+            model.load_state_dict(torch.load(weights_path, map_location="cpu"))
+        else:
+            model = torchvision.models.detection.maskrcnn_resnet50_fpn(
+                weights="DEFAULT"
+            )
+    except Exception:
+        return None  # no weights reachable (e.g. no network)
+    model.eval()
+
+    def detect(img: np.ndarray) -> np.ndarray:
+        ten = torch.from_numpy(
+            np.ascontiguousarray(img, np.float32).transpose(2, 0, 1) / 255.0
+        )
+        with torch.no_grad():
+            out = model([ten])[0]
+        keep = (out["labels"] == 1) & (out["scores"] >= score_thresh)
+        xyxy = out["boxes"][keep].numpy()
+        if xyxy.size == 0:
+            return np.zeros((0, 4), np.float32)
+        cx = (xyxy[:, 0] + xyxy[:, 2]) / 2.0
+        cy = (xyxy[:, 1] + xyxy[:, 3]) / 2.0
+        w = xyxy[:, 2] - xyxy[:, 0]
+        h = xyxy[:, 3] - xyxy[:, 1]
+        return np.stack([cx, cy, w, h], axis=1).astype(np.float32)
+
+    return detect
+
+
 def tiled_window_proposals(
     img: np.ndarray,
     scales: tuple[float, ...] = (0.9, 0.55),
@@ -369,6 +425,8 @@ def run_tracking(
     Mirrors POCOTester.run_tracking (tester.py:113-138) including the
     minimum tracklet length filter.
     """
+    from ..runtime.loader import read_image_rgb, read_images_rgb
+
     if hasattr(detector, "detect_batch"):
         # batched device detector (e.g. YoloDetector): one jitted
         # program per tracker batch instead of one dispatch per frame.
@@ -377,16 +435,12 @@ def run_tracking(
         dets = []
         CHUNK = 64
         for start in range(0, len(image_files), CHUNK):
-            imgs = [
-                cv2.imread(p)[:, :, ::-1]
-                for p in image_files[start:start + CHUNK]
-            ]
+            imgs = read_images_rgb(image_files[start:start + CHUNK])
             dets.extend(detector.detect_batch(imgs))
     else:
         dets = []
         for path in image_files:
-            img = cv2.imread(path)[:, :, ::-1]
-            dets.append(detector(img))
+            dets.append(detector(read_image_rgb(path)))
     tracks = IouTracker().track(dets)
     return {
         tid: tr for tid, tr in tracks.items()

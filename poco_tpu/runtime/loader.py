@@ -166,6 +166,38 @@ def batch_decode_crop(
     return out, statuses
 
 
+def read_image_rgb(path: str) -> np.ndarray:
+    """Read an image as (H, W, 3) RGB uint8 — native JPEG fast path.
+
+    JPEG files go through the C++ decoder when the native library is
+    available; everything else (PNG etc.) falls back to cv2. This is the
+    single frame-read entry point for the demo pipeline (the reference
+    reads every frame with cv2.imread, tester.py:362-580).
+    """
+    if path.lower().endswith((".jpg", ".jpeg")) and native_available():
+        try:
+            return decode_jpeg(path)
+        except (ValueError, OSError):
+            pass  # corrupt/odd jpeg: fall through to cv2
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(f"unreadable image: {path}")
+    return img[:, :, ::-1]
+
+
+def read_images_rgb(paths: list[str], num_threads: int = 8) -> list[np.ndarray]:
+    """Read many images in parallel (ctypes releases the GIL during the
+    native decode, so Python threads give real parallelism on JPEG)."""
+    if len(paths) <= 1 or num_threads <= 1:
+        return [read_image_rgb(p) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(num_threads, len(paths))) as pool:
+        return list(pool.map(read_image_rgb, paths))
+
+
 def batch_decode_affine(
     paths: list[str],
     affines: np.ndarray,

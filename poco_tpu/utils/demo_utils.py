@@ -56,10 +56,16 @@ def download_youtube_clip(url: str, download_folder: str) -> str | None:
 
 
 def video_to_images(
-    vid_file: str, img_folder: str | None = None, return_info: bool = False
+    vid_file: str, img_folder: str | None = None, return_info: bool = False,
+    ext: str = "jpg",
 ):
     """Extract frames: ffmpeg when available (reference
-    demo_utils.py:183-208), cv2.VideoCapture otherwise."""
+    demo_utils.py:183-208), cv2.VideoCapture otherwise.
+
+    Frames are extracted as high-quality JPEG by default (qscale 2) so
+    the native C++ JPEG loader can decode them on the hot path; pass
+    ext="png" for lossless frames (the reference's choice, at ~10x the
+    decode cost)."""
     import cv2
 
     if img_folder is None:
@@ -67,11 +73,16 @@ def video_to_images(
             "/tmp", osp.basename(vid_file).replace(".", "_")
         )
     os.makedirs(img_folder, exist_ok=True)
+    # stale frames from a previous (possibly longer / other-format)
+    # extraction would interleave with the new ones in sorted order
+    for f in os.listdir(img_folder):
+        if f.lower().endswith((".png", ".jpg", ".jpeg")):
+            os.remove(osp.join(img_folder, f))
     if _has_ffmpeg():
-        command = [
-            "ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error",
-            f"{img_folder}/%06d.png",
-        ]
+        command = ["ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error"]
+        if ext == "jpg":
+            command += ["-qscale:v", "2"]
+        command += [f"{img_folder}/%06d.{ext}"]
         subprocess.run(command, check=True)
     else:
         cap = cv2.VideoCapture(vid_file)
@@ -80,7 +91,10 @@ def video_to_images(
             ok, frame = cap.read()
             if not ok:
                 break
-            cv2.imwrite(osp.join(img_folder, f"{idx:06d}.png"), frame)
+            cv2.imwrite(
+                osp.join(img_folder, f"{idx:06d}.{ext}"), frame,
+                [cv2.IMWRITE_JPEG_QUALITY, 95] if ext == "jpg" else [],
+            )
             idx += 1
         cap.release()
     if return_info:

@@ -221,6 +221,38 @@ class Renderer:
         )
 
 
+def overlay_text(image: np.ndarray, txt_str: str, str_id: int = 1) -> np.ndarray:
+    """White-boxed red text overlay, size-scaled to the image.
+
+    Reference contract: pocolib/utils/image_utils.py:355-367 (its only
+    live use is the sideview "Other View" caption, tester.py:567).
+    """
+    import cv2
+
+    image = np.ascontiguousarray(image)
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    font_scale = image.shape[0] * 0.0016
+    thickness = max(int(image.shape[0] * 0.005), 1)
+    bbox_offset = int(image.shape[0] * 0.01)
+    text_x = int(image.shape[1] * 0.02)
+    text_y = int(image.shape[0] * 0.06 * str_id)
+    (tw, th) = cv2.getTextSize(
+        txt_str, font, fontScale=font_scale, thickness=thickness
+    )[0]
+    cv2.rectangle(
+        image,
+        (text_x, text_y + bbox_offset),
+        (text_x + tw + bbox_offset, text_y - th - bbox_offset),
+        (255, 255, 255),
+        cv2.FILLED,
+    )
+    cv2.putText(
+        image, txt_str, (text_x, text_y), font, font_scale,
+        (255, 0, 0), thickness,
+    )
+    return image
+
+
 def _rotate_verts(verts, angle_deg, axis):
     axis = np.asarray(axis, np.float64)
     axis = axis / np.linalg.norm(axis)

@@ -242,6 +242,128 @@ class TestTesterFolder:
         assert np.all(np.isfinite(person["verts"]))
 
 
+@pytest.fixture(scope="module")
+def jpeg_frame_folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("jpeg_frames")
+    rng = np.random.RandomState(3)
+    for i in range(4):
+        img = rng.randint(40, 200, (120, 160, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / f"{i:06d}.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+    return str(root)
+
+
+class TestSideview:
+    """Reference sideview contract: side canvas concatenated to the
+    right of each output frame (tester.py:274,348 folder / 511,567-570
+    video, incl. the 'Other View' caption)."""
+
+    def test_folder_sideview_concatenates(self, frame_folder, tmp_path):
+        tester = _tiny_tester()
+        out_dir = str(tmp_path / "out")
+        tester.run_on_image_folder(
+            frame_folder, output_folder=out_dir, render=True, sideview=True
+        )
+        rendered = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".png")
+        )
+        assert rendered
+        img = cv2.imread(os.path.join(out_dir, rendered[0]))
+        assert img.shape[1] == 2 * 160  # [frame | white sideview]
+        # the right half must contain the white canvas background
+        assert img[:, 160:].max() == 255
+
+    def test_video_sideview_overlay(self, frame_folder, tmp_path):
+        tester = _tiny_tester()
+        results = tester.run_on_video(frame_folder)
+        render_dir = str(tmp_path / "render")
+        tester.render_results(
+            results, frame_folder, render_dir, sideview=True
+        )
+        img = cv2.imread(os.path.join(render_dir, "000000.png"))
+        assert img.shape[1] == 2 * 160
+        # "Other View" caption: white text box on the black side canvas
+        assert (img[:, 160:] == 255).any()
+
+    def test_overlay_text_draws(self):
+        from poco_tpu.viz.renderer import overlay_text
+
+        img = np.zeros((120, 160, 3), np.uint8)
+        out = overlay_text(img, "Other View")
+        assert (out == 255).any()  # white text box
+        assert (out[..., 0] == 255).sum() > (out[..., 2] == 255).sum()  # red text (RGB)
+
+
+class TestNativeVideoPath:
+    def test_load_all_matches_per_item(self, jpeg_frame_folder):
+        from poco_tpu.data.inference import InferenceDataset
+        from poco_tpu.runtime.loader import native_available
+
+        ds = InferenceDataset(
+            jpeg_frame_folder,
+            frames=[0, 1, 2, 3],
+            bboxes=np.array([[80, 60, 60, 90]] * 4, np.float32),
+        )
+        batch = ds.load_all()
+        if not native_available():
+            assert batch is None
+            pytest.skip("native loader unavailable")
+        items = [ds[i] for i in range(len(ds))]
+        for k in ("scale", "center", "orig_shape", "focal_length",
+                  "bbox_info"):
+            np.testing.assert_allclose(
+                batch[k], np.stack([it[k] for it in items]), rtol=1e-6,
+                err_msg=k,
+            )
+        crops = np.stack([it["img"] for it in items])
+        # same decoded pixels, same affine: the native path is bit-close
+        assert np.abs(batch["img"] - crops).max() <= 2.0
+        np.testing.assert_array_equal(batch["frame_id"], [0, 1, 2, 3])
+
+    def test_load_all_none_for_png(self, frame_folder):
+        from poco_tpu.data.inference import InferenceDataset
+
+        ds = InferenceDataset(
+            frame_folder, frames=[0, 1],
+            bboxes=np.array([[80, 60, 60, 90]] * 2, np.float32),
+        )
+        assert ds.load_all() is None  # png -> per-item fallback
+
+    def test_video_end_to_end_jpeg(self, jpeg_frame_folder):
+        tester = _tiny_tester()
+        results = tester.run_on_video(jpeg_frame_folder)
+        person = results[list(results)[0]]
+        assert person["verts"].shape == (4, 96, 3)
+        assert np.all(np.isfinite(person["verts"]))
+        assert person["verts"].dtype == np.float32
+
+    def test_read_image_rgb_matches_cv2(self, jpeg_frame_folder, frame_folder):
+        from poco_tpu.runtime.loader import read_image_rgb, read_images_rgb
+
+        for folder in (jpeg_frame_folder, frame_folder):
+            files = sorted(
+                os.path.join(folder, f) for f in os.listdir(folder)
+            )
+            want = cv2.imread(files[0])[:, :, ::-1]
+            got = read_image_rgb(files[0])
+            assert np.abs(
+                got.astype(np.int16) - want.astype(np.int16)
+            ).max() <= 1  # libjpeg vs cv2 rounding
+            many = read_images_rgb(files)
+            assert len(many) == len(files)
+            assert many[0].shape == want.shape
+
+
+class TestMaskRcnnOption:
+    def test_unavailable_returns_none(self):
+        from poco_tpu.demo.tracker import make_maskrcnn_detector
+
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            assert make_maskrcnn_detector() is None
+
+
 class TestKeypointRefineDetector:
     def test_bbox_from_kp2d_square_and_padded(self):
         from poco_tpu.demo.tracker import bbox_from_kp2d

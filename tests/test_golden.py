@@ -25,16 +25,23 @@ SMPL_DIR = os.environ.get("POCO_TPU_SMPL_DIR")
 GOLDEN_CKPT = os.environ.get("POCO_TPU_GOLDEN_CKPT")
 GOLDEN_REF = os.environ.get("POCO_TPU_GOLDEN_REF")
 
+_HOWTO = (
+    "; when the license-gated assets are available, run the whole gate "
+    "with ONE command: python tools/golden_gate.py --smpl_dir ... "
+    "--torch_ckpt ... --data_dir ...  (see README 'Golden gate')"
+)
+
 needs_smpl = pytest.mark.skipif(
-    not SMPL_DIR, reason="POCO_TPU_SMPL_DIR not set (license-gated asset)"
+    not SMPL_DIR,
+    reason="POCO_TPU_SMPL_DIR not set (license-gated asset)" + _HOWTO,
 )
 needs_ckpt = pytest.mark.skipif(
     not (SMPL_DIR and GOLDEN_CKPT),
-    reason="POCO_TPU_GOLDEN_CKPT not set",
+    reason="POCO_TPU_GOLDEN_CKPT not set" + _HOWTO,
 )
 needs_ref = pytest.mark.skipif(
     not (SMPL_DIR and GOLDEN_CKPT and GOLDEN_REF),
-    reason="POCO_TPU_GOLDEN_REF not set",
+    reason="POCO_TPU_GOLDEN_REF not set" + _HOWTO,
 )
 
 

@@ -1,0 +1,218 @@
+"""Synthetic convergence benchmark: prove the training stack LEARNS.
+
+Generates a LEARNABLE 500-sample synthetic dataset — poses drawn from
+the synthetic SMPL, each image showing the 24 GT joints as
+color-coded blobs (so the image fully determines the pose), half the
+samples with 12 joints occluded (so per-sample difficulty varies and a
+calibrated uncertainty can emerge) — then runs the REAL recipe
+(configs/convergence.yaml: full-width HRNet-W48 + CLIFF + flow, fp32,
+two-phase freeze via FREEZE_PARAMS) through the real train.py / eval.py
+CLIs and asserts:
+
+  * val MPJPE  <= --mpjpe_thresh  (default 120 mm; random-init model
+    starts ~an order of magnitude above — see BENCHMARKS.md)
+  * Pearson correlation of predicted sigma vs per-sample MPJPE
+    >= --corr_thresh (default 0.2)
+
+Reference anchor: pocolib/core/trainer.py:365-465 (the best-model /
+validation machinery this validates end to end).
+
+Usage:
+    python tools/convergence_bench.py [--epochs 40] [--root data]
+        [--skip_train] [--mpjpe_thresh 120] [--corr_thresh 0.2]
+
+Prints one JSON line with the measured numbers and pass/fail.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_TRAIN = 500
+N_TEST = 100
+IMG = 256
+SCALE_PX = 90.0  # orthographic projection scale (3D meters -> pixels)
+
+
+def _joint_colors(n: int = 24) -> np.ndarray:
+    """n maximally-distinct RGB colors (HSV wheel, 2 value rings)."""
+    import colorsys
+
+    cols = []
+    for i in range(n):
+        h = (i % 12) / 12.0
+        v = 1.0 if i < 12 else 0.55
+        cols.append(colorsys.hsv_to_rgb(h, 1.0, v))
+    return (np.asarray(cols) * 255).astype(np.uint8)
+
+
+def make_split(root: str, split: str, n: int, seed: int) -> str:
+    """Write {root}/dataset_extras/conv_{split}.npz + JPEG images.
+
+    GT follows the reference npz schema (base_dataset.py:52-149); the
+    24 'part'/'S' joints use the model's own 49-joint convention rows
+    25:49 (smpl_49), so 2D/3D keypoint losses supervise the matching
+    predicted joints.
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from poco_tpu.ops.rotation import axis_angle_to_rotmat
+    from poco_tpu.smpl.assets import synthetic_smpl_model
+    from poco_tpu.smpl.model import smpl_49
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "dataset_folders", "conv")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(os.path.join(root, "dataset_extras"), exist_ok=True)
+
+    pose = (0.35 * rng.randn(n, 72)).astype(np.float32)
+    pose[:, :3] *= 0.3  # keep global orientation mild
+    shape = (0.5 * rng.randn(n, 10)).astype(np.float32)
+
+    smpl = synthetic_smpl_model()  # the SAME model the trainer resolves
+    rotmats = np.asarray(
+        axis_angle_to_rotmat(jnp.asarray(pose.reshape(-1, 3)))
+    ).reshape(n, 24, 3, 3)
+    _, joints49 = jax.jit(smpl_49)(
+        smpl, jnp.asarray(shape), jnp.asarray(rotmats)
+    )
+    j24 = np.asarray(joints49)[:, 25:]  # (n, 24, 3) GT convention rows
+
+    colors = _joint_colors()
+    imgnames, parts = [], []
+    occluded = np.zeros(n, bool)
+    for i in range(n):
+        px = IMG / 2.0 + SCALE_PX * j24[i, :, 0]
+        py = IMG / 2.0 + SCALE_PX * j24[i, :, 1]
+        img = np.full((IMG, IMG, 3), 32, np.uint8)
+        img += (8 * rng.rand(IMG, IMG, 3)).astype(np.uint8)
+        conf = np.ones(24, np.float32)
+        hide = np.zeros(24, bool)
+        if i % 2 == 1:
+            hide[rng.choice(24, 12, replace=False)] = True
+            occluded[i] = True
+        for jid in range(24):
+            if hide[jid]:
+                conf[jid] = 0.0
+                continue
+            cv2.circle(
+                img, (int(round(px[jid])), int(round(py[jid]))), 6,
+                colors[jid].tolist(), -1,
+            )
+        name = f"{split}_{i:04d}.jpg"
+        cv2.imwrite(
+            os.path.join(img_dir, name), img[:, :, ::-1],
+            [cv2.IMWRITE_JPEG_QUALITY, 95],
+        )
+        imgnames.append(f"dataset_folders/conv/{name}")
+        parts.append(
+            np.concatenate([px[:, None], py[:, None], conf[:, None]], 1)
+        )
+
+    S = np.concatenate([j24, np.ones((n, 24, 1))], axis=-1).astype(np.float32)
+    out = os.path.join(root, "dataset_extras", f"conv_{split}.npz")
+    np.savez(
+        out,
+        imgname=np.array(imgnames),
+        center=np.full((n, 2), IMG / 2.0, np.float32),
+        scale=np.full((n,), 1.1, np.float32),
+        pose=pose,
+        shape=shape,
+        S=S,
+        part=np.asarray(parts, np.float32),
+        openpose=np.zeros((n, 25, 3), np.float32),
+        gender=np.array(["n"] * n),
+        occluded=occluded,  # extra key, ignored by the loader
+    )
+    return out
+
+
+def main():
+    # Data generation is tiny — keep it off the (possibly tunneled) TPU;
+    # the train.py / eval.py subprocesses pick their own devices.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--mpjpe_thresh", type=float, default=120.0)
+    ap.add_argument("--corr_thresh", type=float, default=0.2)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse the existing logdir checkpoint")
+    ap.add_argument("--make_data_only", action="store_true")
+    args = ap.parse_args()
+
+    train_npz = os.path.join(args.root, "dataset_extras", "conv_train.npz")
+    if not os.path.exists(train_npz):
+        for split, n, seed in (("train", N_TRAIN, 0), ("test", N_TEST, 1)):
+            path = make_split(args.root, split, n, seed)
+            print(f"wrote {path}", file=sys.stderr)
+    if args.make_data_only:
+        return
+
+    env = dict(os.environ)
+    if not args.skip_train:
+        r = subprocess.run(
+            [sys.executable, "train.py", "--cfg", "configs/convergence.yaml",
+             "--data_dir", args.root, "--max_epochs", str(args.epochs)],
+            cwd=REPO, env=env,
+        )
+        if r.returncode != 0:
+            raise SystemExit(f"train.py failed ({r.returncode})")
+
+    # newest convergence logdir
+    logroot = os.path.join(REPO, "logs")
+    cands = sorted(
+        d for d in os.listdir(logroot) if d.startswith("convergence")
+    )
+    if not cands:
+        raise SystemExit("no convergence logdir found")
+    logdir = os.path.join(logroot, cands[-1])
+
+    report = "/tmp/convergence_eval.json"
+    r = subprocess.run(
+        [sys.executable, "eval.py", "--cfg", "configs/convergence.yaml",
+         "--ckpt", logdir, "--dataset", "conv", "--data_dir", args.root,
+         "--batch_size", "50", "--out", report],
+        cwd=REPO, env=env,
+    )
+    if r.returncode != 0:
+        raise SystemExit(f"eval.py failed ({r.returncode})")
+    with open(report) as f:
+        summary = json.load(f)["summary"]
+
+    mpjpe = float(summary.get("mpjpe", float("nan")))
+    corr = float(summary.get("uncert_mpjpe_corr", float("nan")))
+    ok = mpjpe <= args.mpjpe_thresh and corr >= args.corr_thresh
+    print(json.dumps({
+        "benchmark": "synthetic_convergence",
+        "epochs": args.epochs,
+        "val_mpjpe_mm": round(mpjpe, 2),
+        "uncert_mpjpe_corr": round(corr, 4),
+        "mpjpe_thresh": args.mpjpe_thresh,
+        "corr_thresh": args.corr_thresh,
+        "pass": bool(ok),
+        "logdir": logdir,
+    }))
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
