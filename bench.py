@@ -138,7 +138,10 @@ def bench_train_step(dtype) -> dict:
     smpl = synthetic_smpl_model(num_verts=6890)
     variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
     state = create_train_state(model, variables, make_optimizer(lr=1e-4))
-    train_step = make_train_step(model, LossConfig(), donate=False)
+    # donate=True is the Trainer's production configuration (train/
+    # trainer.py:132); each chain below threads a fresh state copy so
+    # donation is safe to re-run.
+    train_step = make_train_step(model, LossConfig(), donate=True)
     batch = make_dummy_batch(model.cfg, B, include_gt=True)
     batch.update(
         pose=jnp.zeros((B, 72), jnp.float32),
@@ -148,17 +151,15 @@ def bench_train_step(dtype) -> dict:
         keypoints=jnp.zeros((B, 49, 3), jnp.float32),
     )
     rng = jax.random.PRNGKey(1)
-    state, metrics = train_step(state, batch, smpl, rng)  # compile
-    _ = float(metrics["loss/total_loss"])
 
     def run(n):
-        s = state
+        s = jax.tree_util.tree_map(jnp.copy, state)
         m = None
         for _ in range(n):
             s, m = train_step(s, batch, smpl, rng)
         return float(m["loss/total_loss"])
 
-    run(1)
+    run(1)  # compile + warm
     samples = []
     for _ in range(N_CHAINS):
         t0 = time.perf_counter()

@@ -112,6 +112,58 @@ class TestOptimizer:
             for a, b in zip(old_h, new_h)
         )
 
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            {},
+            {"module_lr": {"backbone_net": 0.1, "head": 0.5}},
+            {"frozen_modules": ("flow_head",)},
+            {"grad_clip": 0.05},
+            {"weight_decay": 1e-2},
+            {
+                "module_lr": {"backbone_net": 0.1},
+                "frozen_modules": ("uncert_head",),
+                "grad_clip": 1.0,
+                "weight_decay": 1e-3,
+            },
+        ],
+    )
+    def test_fused_matches_optax(self, kwargs):
+        """The flat-buffer fused Adam reproduces the optax
+        multi_transform reference update-for-update."""
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        params = init_poco(model, jax.random.PRNGKey(0), smpl)["params"]
+        tx_ref = make_optimizer(lr=1e-3, fused=False, **kwargs)
+        tx_fused = make_optimizer(lr=1e-3, fused=True, **kwargs)
+        s_ref, s_fused = tx_ref.init(params), tx_fused.init(params)
+        p_ref = p_fused = params
+        rng = jax.random.PRNGKey(1)
+        for step_i in range(3):
+            rng, k = jax.random.split(rng)
+            keys = jax.random.split(
+                k, len(jax.tree_util.tree_leaves(params))
+            )
+            it = iter(keys)
+            grads = jax.tree_util.tree_map(
+                lambda p: 0.1 * jax.random.normal(next(it), p.shape, p.dtype),
+                params,
+            )
+            u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+            u_fused, s_fused = tx_fused.update(grads, s_fused, p_fused)
+            import optax
+
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fused = optax.apply_updates(p_fused, u_fused)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(p_ref),
+                jax.tree_util.tree_leaves(p_fused),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5,
+                    err_msg=f"step {step_i} kwargs {kwargs}",
+                )
+
 
 class TestTrainStep:
     def test_loss_decreases_overfitting_one_batch(self):

@@ -38,15 +38,41 @@ enable_compilation_cache()
 N_LO, N_HI = 4, 24  # scan lengths; slope = (t_hi - t_lo) / (N_HI - N_LO)
 
 
-def make_repeat(module, n: int):
-    """Jitted program applying `module` n times with value feedback."""
+GRAD_MODE = False  # --grad: time fwd+bwd per region instead of fwd
 
-    def step(variables, xs):
+
+def make_repeat(module, n: int):
+    """Jitted program applying `module` n times with value feedback.
+
+    With GRAD_MODE the step is the full fwd+bwd of the region (grad of a
+    sum-probe w.r.t. params AND inputs — both gradients exist in the
+    real training step), so region deltas attribute the backward pass.
+    """
+
+    def fwd_step(variables, xs):
         ys = module.apply(variables, *xs)
         leaves = jax.tree_util.tree_leaves(ys)
         probe = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
         probe = (1e-12 * probe).astype(xs[0].dtype)
         return tuple(x + probe for x in xs)
+
+    def region_sum(variables, xs):
+        ys = module.apply(variables, *xs)
+        return sum(
+            jnp.sum(l.astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(ys)
+        )
+
+    def grad_step(variables, xs):
+        gx = jax.grad(region_sum, argnums=(0, 1))(variables, xs)
+        probe = sum(
+            jnp.mean(l.astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(gx[1])
+        )
+        probe = (1e-12 * probe).astype(xs[0].dtype)
+        return tuple(x + probe for x in xs)
+
+    step = grad_step if GRAD_MODE else fwd_step
 
     @functools.partial(jax.jit, static_argnums=2)
     def repeat(variables, xs, n):
@@ -95,7 +121,13 @@ def main():
     ap.add_argument("--branches", action="store_true",
                     help="microbench one ResLayer(BasicBlock x4) per "
                          "branch shape + the stage4 fusion ladder alone")
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd per region (training attribution)")
     args = ap.parse_args()
+    if args.grad:
+        global GRAD_MODE
+        GRAD_MODE = True
+        print("[grad mode: each region timed as fwd+bwd]")
     B, w = args.batch, args.width
     dtype = jnp.bfloat16
 

@@ -167,6 +167,67 @@ def main():
 
     stages["full_donate"] = run_full_donate
 
+    # optimizer alone: Adam update + apply on fixed grads
+    grads0 = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p), state.params
+    )
+
+    @jax.jit
+    def opt_fn(params, opt_state, g):
+        updates, new_opt = state.tx.update(g, opt_state, params)
+        return optax_apply(params, updates), new_opt
+
+    import optax as _optax
+
+    def optax_apply(p, u):
+        return _optax.apply_updates(p, u)
+
+    def run_opt_only(n):
+        p, o = state.params, state.opt_state
+        for _ in range(n):
+            p, o = opt_fn(p, o, grads0)
+        return float(np.asarray(jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]))
+
+    stages["opt_only"] = run_opt_only
+
+    # full step minus the metric extras (_viz verts, var_pose, grad_norm):
+    # quantifies what materializing auxiliary outputs costs the hot path
+    from poco_tpu.train.step import prepare_gt as _pg
+
+    def light_step(s, b, sp, r):
+        gt = _pg(b, sp)
+        mb = dict(b)
+        mb["gt_pose_rotmat"] = gt["gt_pose_rotmat"]
+
+        def lf(params):
+            vs = {"params": params}
+            if s.batch_stats is not None:
+                vs["batch_stats"] = s.batch_stats
+            if s.buffers is not None:
+                vs["buffers"] = s.buffers
+            out, mut = s.apply_fn(
+                vs, mb, sp, train=True, rngs={"dropout": r},
+                mutable=["batch_stats"],
+            )
+            loss, ld = poco_loss(out, gt, loss_cfg)
+            return loss, (ld, mut.get("batch_stats"))
+
+        (loss, (ld, bs)), g = jax.value_and_grad(lf, has_aux=True)(s.params)
+        ns = s.apply_gradients(g)
+        if bs is not None:
+            ns = ns.replace(batch_stats=bs)
+        return ns, ld["loss/total_loss"]
+
+    light_fn = jax.jit(light_step, donate_argnums=(0,))
+
+    def run_full_light(n):
+        s = jax.tree_util.tree_map(jnp.copy, state)
+        for _ in range(n):
+            s, l = light_fn(s, batch, smpl, rng)
+        return float(np.asarray(l))
+
+    stages["full_light"] = run_full_light
+
     wanted = [s for s in args.stages.split(",") if s] or list(stages)
     prev = None
     print(f"batch={B} prec=bf{args.prec} iters={args.iters} "

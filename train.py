@@ -86,7 +86,7 @@ def main():
         print(f"launcher written: {path}")
         return
 
-    from poco_tpu.config import run_grid_search_experiments
+    from poco_tpu.config import dataset_npz_path, run_grid_search_experiments
     from poco_tpu.utils.comp_cache import enable_compilation_cache
 
     enable_compilation_cache()
