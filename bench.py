@@ -133,7 +133,9 @@ def bench_train_step(dtype) -> dict:
     from poco_tpu.train.state import create_train_state, make_optimizer
     from poco_tpu.train.step import make_train_step
 
-    B = int(os.environ.get("POCO_BENCH_TRAIN_BATCH", "64"))
+    # 128/chip is the recommended production batch on v5e (measured +39%
+    # crops/s over the reference's V100-era 64/GPU; BENCHMARKS.md r3).
+    B = int(os.environ.get("POCO_BENCH_TRAIN_BATCH", "128"))
     model = POCO(cfg=PocoConfig(), dtype=dtype)
     smpl = synthetic_smpl_model(num_verts=6890)
     variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)

@@ -1,0 +1,78 @@
+"""Tests for the measurement/gate tools' pure logic."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestDetectorQuality:
+    def test_iou_cxcywh(self):
+        dq = _load("detector_quality")
+        a = np.array([50, 50, 20, 20], np.float32)
+        assert dq.iou_cxcywh(a, a) == pytest.approx(1.0)
+        b = np.array([70, 50, 20, 20], np.float32)  # touching
+        assert dq.iou_cxcywh(a, b) == pytest.approx(0.0)
+        c = np.array([60, 50, 20, 20], np.float32)  # half overlap
+        assert dq.iou_cxcywh(a, c) == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+    def test_evaluate_recall(self):
+        dq = _load("detector_quality")
+        gt = [np.array([[50, 50, 20, 20]], np.float32),
+              np.array([[100, 100, 30, 30]], np.float32)]
+        frames = [None, None]
+
+        def perfect(_):
+            return None  # replaced below
+
+        dets = iter([np.array([[50, 50, 20, 20]], np.float32),
+                     np.array([[10, 10, 5, 5]], np.float32)])
+        det = lambda f: next(dets)  # noqa: E731
+        r = dq.evaluate(det, frames, gt)
+        assert r["n_gt"] == 2
+        assert r["recall"] == pytest.approx(0.5)
+
+    def test_gt_boxes_from_npz_part(self, tmp_path):
+        dq = _load("detector_quality")
+        part = np.zeros((2, 5, 3), np.float32)
+        part[0, :, :2] = [[10, 10], [30, 10], [30, 40], [10, 40], [20, 25]]
+        part[0, :, 2] = 1.0
+        part[1, :, 2] = 0.0  # invisible -> no GT box
+        p = tmp_path / "gt.npz"
+        np.savez(p, imgname=np.array(["a.jpg", "b.jpg"]), part=part)
+        names, boxes = dq.gt_boxes_from_npz(str(p))
+        assert names == ["a.jpg", "b.jpg"]
+        assert boxes[0].shape == (1, 4)
+        assert boxes[1].shape[0] == 0
+        cx, cy = boxes[0][0, :2]
+        assert 15 <= cx <= 25 and 20 <= cy <= 30
+
+    def test_convergence_dataset_schema(self, tmp_path):
+        cb = _load("convergence_bench")
+        out = cb.make_split(str(tmp_path), "test", 6, seed=3)
+        d = np.load(out, allow_pickle=True)
+        assert set(d.files) >= {
+            "imgname", "center", "scale", "pose", "shape", "S", "part",
+            "openpose", "gender",
+        }
+        assert d["part"].shape == (6, 24, 3)
+        assert d["S"].shape == (6, 24, 4)
+        # occluded samples have zero-confidence joints
+        assert (d["part"][1::2, :, 2] == 0).sum() > 0
+        # keypoints land inside the image
+        vis = d["part"][..., 2] > 0
+        assert d["part"][..., 0][vis].min() >= 0
+        assert d["part"][..., 0][vis].max() < 256
