@@ -161,11 +161,21 @@ def make_fused_optimizer(
             groups[k] = {
                 "m": jnp.zeros_like(flat), "v": jnp.zeros_like(flat)
             }
-        return {"count": jnp.zeros((), jnp.int32), "groups": groups}
+        # lr_scale is a TRACED runtime multiplier on the base LR: the
+        # plateau scheduler writes it in place instead of rebuilding the
+        # transformation — an optimizer rebuild changes the step's
+        # static structure and forces a full recompile (minutes over the
+        # axon tunnel, mid-training).
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "lr_scale": jnp.ones((), jnp.float32),
+            "groups": groups,
+        }
 
     def update(grads, state, params=None):
         count = state["count"] + 1
         c = count.astype(jnp.float32)
+        eff_lr = lr * state.get("lr_scale", 1.0)
         scale = None
         if grad_clip:
             gnorm = optax.global_norm(grads)
@@ -193,10 +203,14 @@ def make_fused_optimizer(
             v = b2 * state["groups"][k]["v"] + (1.0 - b2) * gflat * gflat
             mhat = m / (1.0 - b1 ** c)
             vhat = v / (1.0 - b2 ** c)
-            upd = (-lr * mult) * mhat / (jnp.sqrt(vhat) + eps)
+            upd = (-eff_lr * mult) * mhat / (jnp.sqrt(vhat) + eps)
             updates[k] = unravel(upd)
             new_groups[k] = {"m": m, "v": v}
-        return updates, {"count": count, "groups": new_groups}
+        return updates, {
+            "count": count,
+            "lr_scale": state.get("lr_scale", jnp.ones((), jnp.float32)),
+            "groups": new_groups,
+        }
 
     return optax.GradientTransformation(init, update)
 

@@ -215,8 +215,11 @@ class Trainer:
     def _make_tx(self, frozen: tuple[str, ...]):
         h = self.hparams.OPTIMIZER
         clip = self.hparams.TRAINING.GRAD_CLIP_VAL or None
+        # remember the base LR this transformation closes over: the
+        # in-place lr_scale is relative to it (_set_lr)
+        self._tx_base_lr = getattr(self, "_current_lr", h.LR)
         return make_optimizer(
-            lr=getattr(self, "_current_lr", h.LR), weight_decay=h.WD,
+            lr=self._tx_base_lr, weight_decay=h.WD,
             module_lr=self.module_lr, frozen_modules=frozen, grad_clip=clip,
         )
 
@@ -243,14 +246,37 @@ class Trainer:
             )
             if new_lr < self._current_lr:
                 self._current_lr = new_lr
-                frozen = ()
-                for e in sorted(self.freeze_schedule):
-                    if e <= self.epoch:
-                        frozen = tuple(self.freeze_schedule[e])
-                tx = self._make_tx(frozen)
-                self.state = self.state.replace(tx=tx)
+                self._set_lr(new_lr)
                 self._log({"event": "lr_plateau", "lr": new_lr})
             self._plateau_count = 0
+
+    def _set_lr(self, new_lr: float) -> None:
+        """Apply a new learning rate WITHOUT recompiling the train step.
+
+        The fused optimizer carries a traced `lr_scale` in its state —
+        writing it is a pure array update. Rebuilding the transformation
+        (the fallback for the optax path) swaps a static field of the
+        TrainState and forces jit to recompile the whole step: minutes
+        over the axon tunnel, in the middle of training."""
+        import jax.numpy as jnp
+
+        opt_state = self.state.opt_state
+        if isinstance(opt_state, dict) and "lr_scale" in opt_state:
+            new_opt = dict(opt_state)
+            new_opt["lr_scale"] = jnp.asarray(
+                new_lr / getattr(
+                    self, "_tx_base_lr", self.hparams.OPTIMIZER.LR
+                ),
+                jnp.float32,
+            )
+            self.state = self.state.replace(opt_state=new_opt)
+            return
+        frozen = ()
+        for e in sorted(self.freeze_schedule):
+            if e <= self.epoch:
+                frozen = tuple(self.freeze_schedule[e])
+        tx = self._make_tx(frozen)
+        self.state = self.state.replace(tx=tx)
 
     def _apply_freeze_schedule(self, epoch: int) -> None:
         if epoch not in self.freeze_schedule:
@@ -610,6 +636,11 @@ class Trainer:
             self.state = self.state.replace(
                 opt_state=restored["opt_state"]
             )
+            # the restored lr_scale was relative to the OLD tx's base
+            # LR; the rebuilt tx bakes the restored plateau LR in, so
+            # re-normalize the scale against the new base (=> 1.0)
+            if hasattr(self, "_current_lr"):
+                self._set_lr(self._current_lr)
         self._log({
             "event": "resume", "path": path,
             "epoch": self.epoch, "with_sidecar": ts is not None,

@@ -621,6 +621,43 @@ class TestLrPlateau:
         trainer._maybe_reduce_lr_on_plateau(9.0)    # improves, no change
         assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
 
+    def test_plateau_updates_lr_scale_without_tx_rebuild(self, tmp_path):
+        """The fused optimizer's traced lr_scale lets the plateau
+        scheduler change the LR without swapping the transformation —
+        a tx swap is a static-structure change that forces the jitted
+        train step to recompile (minutes over the tunnel)."""
+        h = get_hparams_defaults()
+        h.LOG_DIR = str(tmp_path)
+        h.POCO.BACKBONE = "tiny-cliff"
+        h.POCO.NUM_NEURONS = "216-"
+        h.POCO.SIGMA_DIM = 1
+        h.POCO.UNCERT_INP_TYPE = "feat-pose-net"
+        h.POCO.COND_NFLOW = True
+        h.POCO.CONTEXT_DIM = 64
+        h.POCO.NUM_FLOW_LAYERS = 1
+        h.OPTIMIZER.LR_PLATEAU_PATIENCE = 1
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        trainer = Trainer(h, smpl, train_dataset_fn=lambda e: _ArrayDataset())
+        tx0 = trainer.state.tx
+        trainer._maybe_reduce_lr_on_plateau(10.0)
+        trainer._maybe_reduce_lr_on_plateau(11.0)  # worse -> reduce
+        assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
+        assert trainer.state.tx is tx0  # NOT rebuilt
+        assert float(trainer.state.opt_state["lr_scale"]) == 0.5
+
+        # the scaled state really halves the applied update
+        params = trainer.state.params
+        grads = jax.tree.map(jnp.ones_like, params)
+        upd_half, _ = tx0.update(grads, trainer.state.opt_state, params)
+        base_state = tx0.init(params)
+        upd_full, _ = tx0.update(grads, base_state, params)
+        a = jax.tree.leaves(upd_half)[0]
+        b = jax.tree.leaves(upd_full)[0]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b) * 0.5, rtol=1e-6
+        )
+
 
 class TestTopKRetention:
     def test_keeps_best_k(self, tmp_path):

@@ -150,7 +150,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data")
-    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--mpjpe_thresh", type=float, default=120.0)
     ap.add_argument("--corr_thresh", type=float, default=0.2)
     ap.add_argument("--skip_train", action="store_true",
@@ -176,14 +176,16 @@ def main():
         if r.returncode != 0:
             raise SystemExit(f"train.py failed ({r.returncode})")
 
-    # newest convergence logdir
-    logroot = os.path.join(REPO, "logs")
+    # newest convergence logdir (nested under logs/experiments/<method>/)
+    import glob
+
     cands = sorted(
-        d for d in os.listdir(logroot) if d.startswith("convergence")
+        glob.glob(os.path.join(REPO, "logs", "**", "convergence_ID*"),
+                  recursive=True)
     )
     if not cands:
         raise SystemExit("no convergence logdir found")
-    logdir = os.path.join(logroot, cands[-1])
+    logdir = cands[-1]
 
     report = "/tmp/convergence_eval.json"
     r = subprocess.run(
