@@ -164,20 +164,17 @@ class PocoDataset:
 
     def _load_image(self, index: int) -> np.ndarray:
         path = os.path.join(self.img_dir, str(self.imgname[index]))
-        # Native fast path: threaded C++ JPEG decode
+        # Native fast path: threaded C++ JPEG/PNG decode
         # (poco_tpu/runtime/loader.py). Same default and opt-out
         # (POCO_TPU_NATIVE_LOADER=0) as the whole-batch path.
-        if (
-            os.environ.get("POCO_TPU_NATIVE_LOADER", "1") != "0"
-            and path.lower().endswith((".jpg", ".jpeg"))
-        ):
+        if os.environ.get("POCO_TPU_NATIVE_LOADER", "1") != "0":
             from ..runtime import loader as native_loader
 
-            if native_loader.native_available():
+            if path.lower().endswith(native_loader.native_exts()):
                 try:
-                    return native_loader.decode_jpeg(path).astype(np.float32)
+                    return native_loader.decode_image(path).astype(np.float32)
                 except (ValueError, OSError):
-                    # non-JPEG content, oversize, or EXIF-rotated file:
+                    # unsupported content, oversize, or EXIF-rotated file:
                     # fall through to cv2 (which applies EXIF)
                     pass
         img = cv2.imread(path)
@@ -306,7 +303,8 @@ class PocoDataset:
     def get_batch(self, indices) -> dict[str, np.ndarray]:
         """Whole-batch fast path: threaded C++ decode + affine warp.
 
-        Default when the native library builds and all images are JPEG;
+        Default when the native library builds and it handles every
+        image's format (JPEG always; PNG when libpng was present);
         falls back to the per-item cv2 path otherwise (or per item on a
         decode failure). Augmentation parameters are drawn from the same
         RNG in the same order as the per-item path, and the warp matrix
@@ -321,8 +319,13 @@ class PocoDataset:
         paths = [
             os.path.join(self.img_dir, str(self.imgname[i])) for i in indices
         ]
-        all_jpeg = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
-        if not (all_jpeg and self._native_batch_enabled()):
+        if not self._native_batch_enabled():
+            return collate(
+                [self._item_cv2(i, a) for i, a in zip(indices, augs)]
+            )
+        from ..runtime import loader as _nl
+
+        if not all(p.lower().endswith(_nl.native_exts()) for p in paths):
             return collate(
                 [self._item_cv2(i, a) for i, a in zip(indices, augs)]
             )

@@ -84,20 +84,20 @@ class InferenceDataset:
     def load_all(self, num_threads: int = 0) -> dict | None:
         """Whole-tracklet batch through the native parallel decode+crop.
 
-        One C++ thread-pool call decodes and crops every JPEG frame of
-        the tracklet (the per-item path decodes each frame in Python,
+        One C++ thread-pool call decodes and crops every JPEG/PNG frame
+        of the tracklet (the per-item path decodes each frame in Python,
         the round-2 video-demo profile's 2 s hot spot). Returns the same
         stacked dict the per-item path produces, or None when the native
-        path does not apply (non-JPEG frames, native lib unavailable) —
-        the caller falls back to per-item loading.
+        path does not apply (unsupported formats, native lib
+        unavailable) — the caller falls back to per-item loading.
         """
         from ..runtime import loader as native_loader
 
         paths = [str(self.image_files[f]) for f in self.frames]
         if (
             not paths
-            or not native_loader.native_available()
-            or not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+            or not all(p.lower().endswith(native_loader.native_exts())
+                       for p in paths)
         ):
             return None
         first = native_loader.read_image_rgb(paths[0])

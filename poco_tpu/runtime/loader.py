@@ -36,15 +36,18 @@ _TLS = threading.local()  # per-thread reusable decode buffer
 def _build() -> str | None:
     if osp.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-        "-o", _SO, "-ljpeg", "-lpthread",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return _SO
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    # Prefer PNG support; retry JPEG-only so a libpng-less host still
+    # gets the fast path for JPEG.
+    for extra in (["-ljpeg", "-lpng", "-DPOCO_HAS_PNG"], ["-ljpeg"]):
+        try:
+            subprocess.run(
+                base + extra + ["-lpthread"], check=True, capture_output=True
+            )
+            return _SO
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return None
 
 
 def _load():
@@ -63,6 +66,10 @@ def _load():
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.poco_decode_image.restype = ctypes.c_int
+        lib.poco_decode_image.argtypes = lib.poco_decode_jpeg.argtypes
+        lib.poco_has_png.restype = ctypes.c_int
+        lib.poco_has_png.argtypes = []
         lib.poco_affine_crop.restype = None
         lib.poco_affine_crop.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -92,8 +99,26 @@ def native_available() -> bool:
     return bool(_load())
 
 
-def decode_jpeg(data: bytes | str) -> np.ndarray:
-    """Decode a JPEG file path or byte buffer to (H, W, 3) RGB uint8."""
+def png_available() -> bool:
+    """True when the built library can decode PNG (libpng present)."""
+    lib = _load()
+    return bool(lib) and bool(lib.poco_has_png())
+
+
+def native_exts() -> tuple[str, ...]:
+    """File extensions the native decoder handles on this host."""
+    if not native_available():
+        return ()
+    if png_available():
+        return (".jpg", ".jpeg", ".png")
+    return (".jpg", ".jpeg")
+
+
+def decode_image(data: bytes | str) -> np.ndarray:
+    """Decode a JPEG/PNG file path or byte buffer to (H, W, 3) RGB uint8.
+
+    The C side sniffs the container from magic bytes, so mislabeled
+    extensions are fine."""
     lib = _load()
     if not lib:
         raise RuntimeError("native loader unavailable")
@@ -108,15 +133,23 @@ def decode_jpeg(data: bytes | str) -> np.ndarray:
         _TLS.decode_buf = buf
     h = ctypes.c_int()
     w = ctypes.c_int()
-    rc = lib.poco_decode_jpeg(
+    rc = lib.poco_decode_image(
         data, len(data), buf.ctypes.data, MAX_H, MAX_W,
         ctypes.byref(h), ctypes.byref(w),
     )
     if rc != 0:
-        raise ValueError(f"jpeg decode failed (rc={rc})")
+        raise ValueError(f"image decode failed (rc={rc})")
     # Rows were written with stride w*3 — reinterpret the prefix.
     flat = buf.reshape(-1)[: h.value * w.value * 3]
     return flat.reshape(h.value, w.value, 3).copy()
+
+
+def decode_jpeg(data: bytes | str) -> np.ndarray:
+    """Decode a JPEG file path or byte buffer to (H, W, 3) RGB uint8.
+
+    Kept for callers that specifically expect the JPEG-only contract;
+    `decode_image` additionally handles PNG."""
+    return decode_image(data)
 
 
 def affine_crop(
@@ -167,18 +200,18 @@ def batch_decode_crop(
 
 
 def read_image_rgb(path: str) -> np.ndarray:
-    """Read an image as (H, W, 3) RGB uint8 — native JPEG fast path.
+    """Read an image as (H, W, 3) RGB uint8 — native JPEG/PNG fast path.
 
-    JPEG files go through the C++ decoder when the native library is
-    available; everything else (PNG etc.) falls back to cv2. This is the
-    single frame-read entry point for the demo pipeline (the reference
-    reads every frame with cv2.imread, tester.py:362-580).
+    JPEG and (when libpng was available at build time) PNG files go
+    through the C++ decoder; anything else falls back to cv2. This is
+    the single frame-read entry point for the demo pipeline (the
+    reference reads every frame with cv2.imread, tester.py:362-580).
     """
-    if path.lower().endswith((".jpg", ".jpeg")) and native_available():
+    if path.lower().endswith(native_exts()):
         try:
-            return decode_jpeg(path)
+            return decode_image(path)
         except (ValueError, OSError):
-            pass  # corrupt/odd jpeg: fall through to cv2
+            pass  # corrupt/odd file: fall through to cv2
     import cv2
 
     img = cv2.imread(path)

@@ -1,20 +1,23 @@
-// Native host-side data loader: threaded JPEG decode + affine crop.
+// Native host-side data loader: threaded JPEG/PNG decode + affine crop.
 //
-// The TPU input pipeline is host-bound: per-item JPEG decode and the
+// The TPU input pipeline is host-bound: per-item image decode and the
 // bilinear bbox crop dominate loader time (the reference does both in
 // Python workers via cv2, pocolib/dataset/base_dataset.py:276-283 /
 // image_utils.py:189-206). This module provides the same two operations
 // as a C ABI shared library with an internal thread pool so a whole
 // batch decodes+crops in one call:
 //
-//   poco_decode_jpeg          one image,  RGB uint8 out
+//   poco_decode_image         one image (JPEG or PNG), RGB uint8 out
 //   poco_affine_crop          one crop,   float32 RGB out (cv2-parity
 //                             bilinear, BORDER_CONSTANT=0)
 //   poco_batch_decode_crop    N files -> (N, R, R, 3) float32 batch,
 //                             parallel across a thread pool
 //
 // Built by poco_tpu/runtime/loader.py with:
-//   g++ -O3 -shared -fPIC poco_loader.cpp -o libpoco_loader.so -ljpeg
+//   g++ -O3 -shared -fPIC poco_loader.cpp -o libpoco_loader.so \
+//       -ljpeg [-lpng -DPOCO_HAS_PNG]
+// (PNG support is compiled in when libpng is present; the builder
+// retries without it so JPEG keeps working on libpng-less hosts.)
 
 #include <cstdint>
 #include <cstdio>
@@ -27,6 +30,9 @@
 #include <vector>
 
 #include <jpeglib.h>
+#ifdef POCO_HAS_PNG
+#include <png.h>
+#endif
 
 namespace {
 
@@ -164,6 +170,136 @@ int decode_jpeg_vec(const uint8_t* data, size_t size,
   return 0;
 }
 
+#ifdef POCO_HAS_PNG
+struct PngMemSrc {
+  const uint8_t* data;
+  size_t size;
+  size_t off;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  PngMemSrc* src = static_cast<PngMemSrc*>(png_get_io_ptr(png));
+  if (src->off + n > src->size) png_error(png, "truncated PNG");
+  std::memcpy(out, src->data + src->off, n);
+  src->off += n;
+}
+
+// Decode a PNG byte buffer to RGB8 with the classic libpng read API.
+// The transform set mirrors cv2.imread(IMREAD_COLOR) — the fallback
+// path that defines parity here:
+//   * palette / low-bit gray expand to 8-bit RGB
+//   * alpha is DROPPED (no background compositing)
+//   * gAMA/cHRM/sRGB/iCCP chunks are IGNORED (no gamma conversion —
+//     the simplified png_image API would color-manage to sRGB and
+//     diverge from cv2 on gamma-tagged files)
+//   * 16-bit files are rejected (-5): libpng and cv2 disagree on the
+//     16->8 conversion, so they take the cv2 path
+// Same status codes as the JPEG decoder.
+int decode_png_vec(const uint8_t* data, size_t size,
+                   std::vector<uint8_t>& out_vec,
+                   int max_h, int max_w, int* out_h, int* out_w) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                             nullptr);
+  if (!png) return -1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -1;
+  }
+  // NOTE: no C++ objects with destructors may live in this scope —
+  // png_error longjmps here, skipping destructors. The row-pointer
+  // vector lives in a helper scope below, after the last png_* call
+  // that can error is inside it... so keep everything needed for
+  // cleanup in POD form and let out_vec (caller-owned) hold pixels.
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  PngMemSrc src{data, size, 0};
+  png_set_read_fn(png, &src, png_mem_read);
+  png_read_info(png, info);
+
+  const png_uint_32 w32 = png_get_image_width(png, info);
+  const png_uint_32 h32 = png_get_image_height(png, info);
+  const int bit_depth = png_get_bit_depth(png, info);
+  const int color_type = png_get_color_type(png, info);
+  if (bit_depth == 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -5;
+  }
+  if (h32 > static_cast<png_uint_32>(max_h) ||
+      w32 > static_cast<png_uint_32>(max_w)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -2;
+  }
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);  // cv2 drops alpha; never composite
+  png_set_interlace_handling(png);
+  png_read_update_info(png, info);
+
+  const int h = static_cast<int>(h32);
+  const int w = static_cast<int>(w32);
+  if (png_get_rowbytes(png, info) != static_cast<size_t>(w) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  if (out_vec.size() < static_cast<size_t>(h) * w * 3)
+    out_vec.resize(static_cast<size_t>(h) * w * 3);
+  // Raw row-pointer array (not std::vector: longjmp above would leak
+  // past destructors mid-read). Freed on both paths.
+  png_bytep* rows = static_cast<png_bytep*>(
+      std::malloc(sizeof(png_bytep) * h));
+  if (!rows) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  for (int i = 0; i < h; ++i)
+    rows[i] = out_vec.data() + static_cast<size_t>(i) * w * 3;
+  if (setjmp(png_jmpbuf(png))) {
+    std::free(rows);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  png_read_image(png, rows);
+  std::free(rows);
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+#endif  // POCO_HAS_PNG
+
+inline bool is_png(const uint8_t* d, size_t n) {
+  static const uint8_t kMagic[8] = {0x89, 'P', 'N', 'G', '\r', '\n',
+                                    0x1A, '\n'};
+  return n >= 8 && std::memcmp(d, kMagic, 8) == 0;
+}
+
+inline bool is_jpeg(const uint8_t* d, size_t n) {
+  return n >= 3 && d[0] == 0xFF && d[1] == 0xD8 && d[2] == 0xFF;
+}
+
+// Content-sniffing dispatch (extensions lie; magic bytes do not).
+// -5 = unsupported container format.
+int decode_image_vec(const uint8_t* data, size_t size,
+                     std::vector<uint8_t>& out_vec,
+                     int max_h, int max_w, int* out_h, int* out_w) {
+  if (is_jpeg(data, size))
+    return decode_jpeg_vec(data, size, out_vec, max_h, max_w, out_h, out_w);
+#ifdef POCO_HAS_PNG
+  if (is_png(data, size))
+    return decode_png_vec(data, size, out_vec, max_h, max_w, out_h, out_w);
+#endif
+  return -5;
+}
+
 // cv2-parity bilinear sample with BORDER_CONSTANT=0.
 inline void sample_bilinear(const uint8_t* img, int h, int w,
                             float x, float y, float* rgb) {
@@ -263,6 +399,35 @@ int poco_decode_jpeg(const uint8_t* data, size_t size, uint8_t* out,
   return decode_jpeg_impl(data, size, out, max_h, max_w, out_h, out_w);
 }
 
+// 1 when PNG decode was compiled in (libpng present at build time).
+int poco_has_png(void) {
+#ifdef POCO_HAS_PNG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Format-sniffing single-image decode (JPEG or PNG) into a caller
+// buffer of at least max_h*max_w*3 bytes, rows packed at stride w*3.
+int poco_decode_image(const uint8_t* data, size_t size, uint8_t* out,
+                      int max_h, int max_w, int* out_h, int* out_w) {
+  if (is_jpeg(data, size))
+    return decode_jpeg_impl(data, size, out, max_h, max_w, out_h, out_w);
+#ifdef POCO_HAS_PNG
+  if (is_png(data, size)) {
+    std::vector<uint8_t> buf;
+    const int rc =
+        decode_png_vec(data, size, buf, max_h, max_w, out_h, out_w);
+    if (rc == 0)
+      std::memcpy(out, buf.data(),
+                  static_cast<size_t>(*out_h) * *out_w * 3);
+    return rc;
+  }
+#endif
+  return -5;
+}
+
 void poco_affine_crop(const uint8_t* img, int h, int w, float cx, float cy,
                       float bbox_size, int out_res, float* out) {
   affine_crop_impl(img, h, w, cx, cy, bbox_size, out_res, out);
@@ -294,8 +459,8 @@ void poco_batch_decode_crop(const char** paths, int n,
         continue;
       }
       int h = 0, w = 0;
-      const int rc = decode_jpeg_vec(bytes.data(), bytes.size(),
-                                     decode_buf, max_h, max_w, &h, &w);
+      const int rc = decode_image_vec(bytes.data(), bytes.size(),
+                                      decode_buf, max_h, max_w, &h, &w);
       statuses[i] = rc;
       if (rc != 0) continue;
       affine_crop_impl(decode_buf.data(), h, w,
@@ -342,8 +507,8 @@ void poco_batch_decode_affine(const char** paths, int n,
         continue;
       }
       int h = 0, w = 0;
-      const int rc = decode_jpeg_vec(bytes.data(), bytes.size(),
-                                     decode_buf, max_h, max_w, &h, &w);
+      const int rc = decode_image_vec(bytes.data(), bytes.size(),
+                                      decode_buf, max_h, max_w, &h, &w);
       statuses[i] = rc;
       if (rc != 0) continue;
       dims[2 * i] = h;

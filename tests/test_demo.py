@@ -320,14 +320,24 @@ class TestNativeVideoPath:
         assert np.abs(batch["img"] - crops).max() <= 2.0
         np.testing.assert_array_equal(batch["frame_id"], [0, 1, 2, 3])
 
-    def test_load_all_none_for_png(self, frame_folder):
+    def test_load_all_png_native_or_fallback(self, frame_folder):
+        """PNG tracklets take the native whole-batch path when the lib
+        was built with libpng (matching the per-item crops); on a
+        libpng-less build load_all returns None (per-item fallback)."""
         from poco_tpu.data.inference import InferenceDataset
+        from poco_tpu.runtime import loader as native_loader
 
         ds = InferenceDataset(
             frame_folder, frames=[0, 1],
             bboxes=np.array([[80, 60, 60, 90]] * 2, np.float32),
         )
-        assert ds.load_all() is None  # png -> per-item fallback
+        batch = ds.load_all()
+        if not native_loader.png_available():
+            assert batch is None
+            return
+        items = [ds[i] for i in range(2)]
+        crops = np.stack([it["img"] for it in items])
+        assert np.abs(batch["img"] - crops).max() <= 2.0
 
     def test_video_end_to_end_jpeg(self, jpeg_frame_folder):
         tester = _tiny_tester()

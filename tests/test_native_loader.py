@@ -247,3 +247,113 @@ class TestExifHandling:
         )
         out = ds._load_image(0)
         assert out.shape == (20, 24, 3)
+
+
+class TestPngDecode:
+    """Native PNG decode (libpng, poco_loader.cpp decode_png_vec) must be
+    pixel-exact vs the cv2 fallback it replaces for every 8-bit PNG
+    variant; 16-bit PNGs are rejected to the cv2 path (status -5)
+    because libpng's linear-light 16->8 differs from cv2's scaling."""
+
+    def _skip_unless_png(self):
+        if not loader.png_available():
+            pytest.skip("libpng not available at build time")
+
+    def test_rgb_png_exact(self, tmp_path):
+        self._skip_unless_png()
+        img = (np.random.RandomState(0).rand(37, 53, 3) * 255).astype(
+            np.uint8
+        )
+        p = str(tmp_path / "a.png")
+        cv2.imwrite(p, img[:, :, ::-1])
+        np.testing.assert_array_equal(loader.decode_image(p), img)
+        np.testing.assert_array_equal(loader.read_image_rgb(p), img)
+
+    def test_rgba_png_drops_alpha_like_cv2(self, tmp_path):
+        self._skip_unless_png()
+        rgba = (np.random.RandomState(1).rand(21, 33, 4) * 255).astype(
+            np.uint8
+        )
+        p = str(tmp_path / "b.png")
+        cv2.imwrite(p, rgba)
+        ref = cv2.imread(p)[:, :, ::-1]
+        np.testing.assert_array_equal(loader.decode_image(p), ref)
+
+    def test_gray_png_exact(self, tmp_path):
+        self._skip_unless_png()
+        g = (np.random.RandomState(2).rand(15, 19) * 255).astype(np.uint8)
+        p = str(tmp_path / "c.png")
+        cv2.imwrite(p, g)
+        ref = cv2.imread(p)[:, :, ::-1]
+        np.testing.assert_array_equal(loader.decode_image(p), ref)
+
+    def test_16bit_png_rejected_to_cv2(self, tmp_path):
+        self._skip_unless_png()
+        g16 = (np.random.RandomState(3).rand(9, 11) * 65535).astype(
+            np.uint16
+        )
+        p = str(tmp_path / "d.png")
+        cv2.imwrite(p, g16)
+        with pytest.raises(ValueError):
+            loader.decode_image(p)
+        # the read_image_rgb entry point transparently falls back
+        ref = cv2.imread(p)[:, :, ::-1]
+        np.testing.assert_array_equal(loader.read_image_rgb(p), ref)
+
+    def test_batch_decode_crop_mixed_formats(self, tmp_path, jpeg_file):
+        self._skip_unless_png()
+        img = (np.random.RandomState(4).rand(48, 64, 3) * 255).astype(
+            np.uint8
+        )
+        png_path = str(tmp_path / "e.png")
+        cv2.imwrite(png_path, img[:, :, ::-1])
+        paths = [jpeg_file, png_path]
+        centers = np.array([[32.0, 24.0], [32.0, 24.0]], np.float32)
+        sizes = np.array([40.0, 40.0], np.float32)
+        crops, statuses = loader.batch_decode_crop(
+            paths, centers, sizes, out_res=16
+        )
+        assert statuses.tolist() == [0, 0]
+        # PNG crop must equal the single-image affine_crop of the same
+        # pixels (crop math is shared; only the decoder differs)
+        expect = loader.affine_crop(img, (32.0, 24.0), 40.0, 16)
+        np.testing.assert_allclose(crops[1], expect, atol=1e-5)
+
+    def test_png_content_with_jpg_name_decodes_native(self, tmp_path):
+        self._skip_unless_png()
+        img = (np.random.RandomState(5).rand(20, 24, 3) * 255).astype(
+            np.uint8
+        )
+        ok, enc = cv2.imencode(".png", img[:, :, ::-1])
+        p = str(tmp_path / "lies.jpg")
+        with open(p, "wb") as f:
+            f.write(enc.tobytes())
+        # magic-byte sniffing, not the extension, picks the decoder
+        np.testing.assert_array_equal(loader.decode_image(p), img)
+
+    def test_gamma_tagged_png_matches_cv2(self, tmp_path):
+        """gAMA/cHRM chunks must be IGNORED (cv2 ignores them; libpng's
+        simplified API would gamma-convert to sRGB and diverge — the
+        reference demo asset skating.png is such a file)."""
+        self._skip_unless_png()
+        img = (np.random.RandomState(6).rand(24, 31, 3) * 255).astype(
+            np.uint8
+        )
+        ok, enc = cv2.imencode(".png", img[:, :, ::-1])
+        raw = enc.tobytes()
+        # splice a gAMA chunk (gamma 1/2.2) right after IHDR
+        import struct, zlib
+
+        ihdr_end = 8 + 4 + 4 + 13 + 4
+        body = struct.pack(">I", 45455)
+        chunk = (
+            struct.pack(">I", 4) + b"gAMA" + body
+            + struct.pack(">I", zlib.crc32(b"gAMA" + body) & 0xFFFFFFFF)
+        )
+        tagged = raw[:ihdr_end] + chunk + raw[ihdr_end:]
+        p = str(tmp_path / "gamma.png")
+        with open(p, "wb") as f:
+            f.write(tagged)
+        ref = cv2.imread(p)[:, :, ::-1]
+        np.testing.assert_array_equal(ref, img)  # cv2 ignores gAMA
+        np.testing.assert_array_equal(loader.decode_image(p), img)
