@@ -612,29 +612,40 @@ class Trainer:
                 tx=tx, opt_state=tx.init(self.state.params)
             )
 
+        # Template-free restore + structural merge: checkpoints written
+        # by other versions may lack payload entries (opt_state on very
+        # old ones) or opt_state keys (lr_scale predates some runs). A
+        # fixed template would reject either direction with a
+        # tree-structure mismatch; merging into the freshly-initialized
+        # state keeps defaults for anything the checkpoint doesn't
+        # carry.
         ckptr = ocp.StandardCheckpointer()
-        template = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-            "buffers": self.state.buffers,
-            "step": self.state.step,
-            "opt_state": self.state.opt_state,
-        }
-        try:
-            restored = ckptr.restore(path, template)
-        except Exception:
-            # Older checkpoints lack opt_state; restore the rest.
-            template.pop("opt_state")
-            restored = ckptr.restore(path, template)
+        restored = ckptr.restore(path)
+
+        from collections.abc import Mapping
+
+        def _merge(tmpl, rest):
+            if tmpl is None or rest is None:
+                return tmpl
+            if isinstance(tmpl, Mapping):
+                return {
+                    k: (_merge(v, rest.get(k))
+                        if isinstance(rest, Mapping) else v)
+                    for k, v in tmpl.items()
+                }
+            return jnp.asarray(rest)
+
         self.state = self.state.replace(
-            params=restored["params"],
-            batch_stats=restored["batch_stats"],
-            buffers=restored["buffers"],
-            step=restored["step"],
+            params=_merge(self.state.params, restored["params"]),
+            batch_stats=_merge(
+                self.state.batch_stats, restored["batch_stats"]
+            ),
+            buffers=_merge(self.state.buffers, restored["buffers"]),
+            step=jnp.asarray(restored["step"]),
         )
         if restored.get("opt_state") is not None:
             self.state = self.state.replace(
-                opt_state=restored["opt_state"]
+                opt_state=_merge(self.state.opt_state, restored["opt_state"])
             )
             # the restored lr_scale was relative to the OLD tx's base
             # LR; the rebuilt tx bakes the restored plateau LR in, so

@@ -358,6 +358,59 @@ class TestTrainerEndToEnd:
         # now honored).
         assert os.path.exists(str(tmp_path / "a" / "best_model_mpjpe_var"))
 
+    def test_resume_tolerates_legacy_opt_state_layouts(self, tmp_path):
+        """Checkpoints written before the traced lr_scale existed (or
+        before opt_state was saved at all) must still resume: the
+        restore merges into the freshly-initialized state, keeping
+        defaults for whatever the payload lacks. Regression: a fixed
+        restore template rejected BOTH directions of mismatch
+        (opt_state missing a key, then opt_state missing from the
+        template) with orbax tree-structure errors."""
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        ds = _ArrayDataset(n=16)
+        h = self._small_hparams(tmp_path / "run")
+        trainer = Trainer(
+            h, smpl, train_dataset_fn=lambda e: ds, val_dataset=None
+        )
+        trainer.fit(max_epochs=1)
+        last = str(tmp_path / "run" / "last")
+
+        ckptr = ocp.StandardCheckpointer()
+        payload = ckptr.restore(os.path.abspath(last))
+
+        def _rewrite(name, payload):
+            path = str(tmp_path / name)
+            ckptr.save(os.path.abspath(path), payload, force=True)
+            ckptr.wait_until_finished()
+            shutil.copy(last + ".trainer.json", path + ".trainer.json")
+            return path
+
+        legacy = dict(payload)
+        legacy["opt_state"] = {
+            k: v for k, v in payload["opt_state"].items() if k != "lr_scale"
+        }
+        no_opt = {k: v for k, v in payload.items() if k != "opt_state"}
+
+        for name, p in (("no_lr_scale", legacy), ("no_opt_state", no_opt)):
+            path = _rewrite(name, p)
+            t2 = Trainer(
+                self._small_hparams(tmp_path / f"resume_{name}"), smpl,
+                train_dataset_fn=lambda e: ds, val_dataset=None,
+            )
+            t2.load_checkpoint(path)
+            for x, y in zip(
+                jax.tree.leaves(trainer.state.params),
+                jax.tree.leaves(t2.state.params),
+            ):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            # missing pieces keep their initialized defaults
+            assert "lr_scale" in t2.state.opt_state
+            t2.fit(max_epochs=2)  # and training continues
+
 
 class TestTrainerVizAndStats:
     def test_save_images_and_uncert_stats(self, tmp_path):
