@@ -163,6 +163,72 @@ def conv(
     )
 
 
+class S2DStemConv(nn.Module):
+    """Stem odd-k/stride-2 conv computed as space-to-depth + small conv.
+
+    The stem's first conv has few input channels (RGB: 3 of 128 vector
+    lanes used), so the MXU runs nearly empty. The classic TPU rewrite
+    (MLPerf ResNet): zero-pad the kxk kernel to (k+1)x(k+1) with a
+    leading row/col (the added taps multiply pixels by exact zeros),
+    then the (k+1)x(k+1) stride-2 conv over (H, W, C) is identically an
+    m x m stride-1 conv, m=(k+1)/2, over the (H/2, W/2, 4C)
+    space-to-depth rearrangement — 4x the input-channel occupancy, the
+    same dot products, exact math modulo float-add order.
+
+    The kernel PARAMETER keeps the checkpoint-compatible logical shape
+    (k, k, in, out) under the same `kernel` name as nn.Conv, so
+    converted reference weights load into either implementation
+    unchanged. Falls back to the plain conv for odd spatial sizes.
+    """
+
+    features: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        assert k % 2 == 1, "stem rewrite expects an odd kernel"
+        p = k // 2
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=[(p, p), (p, p)],
+                dimension_numbers=dn,
+            )
+        # kernel kxk -> (k+1)x(k+1) with a leading zero row/col, then
+        # split each spatial axis into (block, offset): index a = 2u+pi.
+        m = (k + 1) // 2
+        kpad = jnp.pad(kernel, [(1, 0), (1, 0), (0, 0), (0, 0)])
+        k2 = kpad.reshape(m, 2, m, 2, cin, self.features)  # (u,pi,v,pj,c,o)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(m, m, 4 * cin, self.features)
+        # space-to-depth with the matching (pi, pj, c) flat order
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, k2.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        # out(i) covers input rows 2i-p-1 .. 2i+p = blocks
+        # i-(p+1)/2 .. i+p/2 -> block padding ((p+1)//2, p//2).
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), k2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[((p + 1) // 2, p // 2), ((p + 1) // 2, p // 2)],
+            dimension_numbers=dn,
+        )
+
+
 def batch_norm(train: bool, name: str | None = None, dtype: Any = jnp.float32) -> nn.BatchNorm:
     return nn.BatchNorm(
         use_running_average=not train,

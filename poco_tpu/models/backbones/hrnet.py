@@ -30,6 +30,7 @@ from .common import (
     BasicBlock,
     Bottleneck,
     ResLayer,
+    S2DStemConv,
     batch_norm,
     conv,
     resize_bilinear_align_corners,
@@ -122,6 +123,9 @@ class HRNet(nn.Module):
     # far below the bf16 floor; fp32 keeps the canonical op order so the
     # parity/golden gates measure the reference-exact program.
     lane_pad: bool | None = None
+    # space-to-depth stem conv1 (see common.S2DStemConv) — exact dot
+    # products modulo float-add order; opt-in pending TPU measurement.
+    s2d_stem: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,6 +136,9 @@ class HRNet(nn.Module):
             if self.lane_pad is not None
             else self.dtype == jnp.bfloat16
         )
+        # default OFF until the TPU measurement lands (lane_pad
+        # protocol: accept on measured wall time; see BENCHMARKS.md)
+        s2d = bool(self.s2d_stem)
         stage_channels = {
             2: [w, 2 * w],
             3: [w, 2 * w, 4 * w],
@@ -139,7 +146,10 @@ class HRNet(nn.Module):
         }
 
         # Stem: two stride-2 3x3 convs -> 1/4 resolution, 64ch.
-        y = conv(64, 3, 2, name="conv1", dtype=self.dtype)(x)
+        if s2d:
+            y = S2DStemConv(64, kernel_size=3, name="conv1", dtype=self.dtype)(x)
+        else:
+            y = conv(64, 3, 2, name="conv1", dtype=self.dtype)(x)
         y = batch_norm(train, name="bn1", dtype=self.dtype)(y)
         y = nn.relu(y)
         y = conv(64, 3, 2, name="conv2", dtype=self.dtype)(y)

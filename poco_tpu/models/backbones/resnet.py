@@ -13,7 +13,14 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import BasicBlock, Bottleneck, ResLayer, batch_norm, conv
+from .common import (
+    BasicBlock,
+    Bottleneck,
+    ResLayer,
+    S2DStemConv,
+    batch_norm,
+    conv,
+)
 
 
 class ResNet(nn.Module):
@@ -23,14 +30,25 @@ class ResNet(nn.Module):
     layers: Sequence[int]
     groups: int = 1
     base_width: int = 64
+    # space-to-depth stem conv1 (common.S2DStemConv) — exact dot
+    # products modulo float-add order; opt-in pending TPU measurement.
+    s2d_stem: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = nn.Conv(
-            64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, name="conv1", dtype=self.dtype,
-        )(x)
+        # default OFF until the TPU measurement lands (lane_pad
+        # protocol: accept on measured wall time; see BENCHMARKS.md)
+        s2d = bool(self.s2d_stem)
+        if s2d:
+            y = S2DStemConv(
+                64, kernel_size=7, name="conv1", dtype=self.dtype
+            )(x)
+        else:
+            y = nn.Conv(
+                64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, name="conv1", dtype=self.dtype,
+            )(x)
         y = batch_norm(train, name="bn1", dtype=self.dtype)(y)
         y = nn.relu(y)
         y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)

@@ -1,5 +1,6 @@
 """Backbone tests: resize parity, tiny/resnet/hrnet shapes."""
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -286,4 +287,95 @@ class TestLanePadding:
             assert a.shape == b.shape
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
+            )
+
+
+class TestS2DStem:
+    """Space-to-depth stem conv (common.S2DStemConv) computes exactly
+    the same dot products as the plain odd-k stride-2 conv, with an
+    identical (checkpoint-compatible) param tree."""
+
+    def _compare(self, k, h, w, cin=3, cout=64, atol=2e-5):
+        import numpy as np
+
+        from poco_tpu.models.backbones.common import S2DStemConv
+
+        x = jnp.asarray(
+            np.random.RandomState(k).randn(2, h, w, cin), jnp.float32
+        )
+        plain = nn.Conv(
+            cout, (k, k), (2, 2),
+            padding=[(k // 2, k // 2), (k // 2, k // 2)],
+            use_bias=False, name="conv1",
+        )
+        s2d = S2DStemConv(cout, kernel_size=k, name="conv1")
+        v = plain.init(jax.random.PRNGKey(0), x)
+        v2 = s2d.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+            assert a.shape == b.shape
+        y = plain.apply(v, x)
+        y2 = s2d.apply(v, x)  # the SAME logical params
+        assert y2.shape == y.shape
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=atol)
+
+    def test_3x3_even_input(self):
+        self._compare(3, 224, 224)
+
+    def test_3x3_rectangular(self):
+        self._compare(3, 64, 96, cin=5, cout=32)
+
+    def test_7x7_resnet_stem(self):
+        self._compare(7, 224, 224)
+
+    def test_odd_input_falls_back(self):
+        self._compare(3, 65, 65)
+
+    def test_grad_matches(self):
+        import numpy as np
+
+        from poco_tpu.models.backbones.common import S2DStemConv
+
+        x = jnp.asarray(
+            np.random.RandomState(9).randn(2, 32, 32, 3), jnp.float32
+        )
+        plain = nn.Conv(
+            16, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+            use_bias=False, name="conv1",
+        )
+        s2d = S2DStemConv(16, kernel_size=3, name="conv1")
+        v = plain.init(jax.random.PRNGKey(0), x)
+
+        def loss(params, mod):
+            return jnp.sum(mod.apply(params, x) ** 2)
+
+        g = jax.grad(lambda p: loss(p, plain))(v)
+        g2 = jax.grad(lambda p: loss(p, s2d))(v)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
+            )
+
+    def test_hrnet_and_resnet_wire_s2d(self):
+        """s2d variants produce the plain variants' outputs with the
+        plain variants' params (full tiny forward)."""
+        import numpy as np
+
+        from poco_tpu.models.backbones.hrnet import HRNet
+        from poco_tpu.models.backbones.resnet import resnet18
+
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32
+        )
+        for a, b in (
+            (HRNet(variant="cls", width=18, s2d_stem=False),
+             HRNet(variant="cls", width=18, s2d_stem=True)),
+            (resnet18().clone(s2d_stem=False),
+             resnet18().clone(s2d_stem=True)),
+        ):
+            v = a.init(jax.random.PRNGKey(0), x)
+            ya = a.apply(v, x, False)
+            yb = b.apply(v, x, False)
+            np.testing.assert_allclose(
+                np.asarray(yb), np.asarray(ya), atol=5e-4, rtol=1e-4
             )
