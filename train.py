@@ -72,6 +72,12 @@ def main():
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint path")
     parser.add_argument(
+        "--pretrained", default=None,
+        help="warm-start weights (orbax dir or torch .pt) — overrides "
+             "TRAINING.PRETRAINED; unlike --resume, epoch counters and "
+             "optimizer state start fresh",
+    )
+    parser.add_argument(
         "--make_launcher", default=None, choices=["bash", "slurm"],
         help="write a grid-search array launcher and exit (the "
              "reference's --cluster HTCondor handoff contract, "
@@ -98,6 +104,8 @@ def main():
     hparams = run_grid_search_experiments(args.cfg, args.cfg_id)
     if args.data_dir:
         hparams.DATASET.DATA_DIR = args.data_dir
+    if args.pretrained:
+        hparams.TRAINING.PRETRAINED = args.pretrained
     copy_code(hparams.LOG_DIR)
 
     smpl = resolve_smpl_params(args.smpl_dir, "neutral")
