@@ -102,6 +102,13 @@ def make_gendered_eval_step(
         }
         if out.get("var_pose") is not None:
             metrics["var_pose"] = out["var_pose"]
+            # Per-joint rotation-space distance — the x-vector of the
+            # reference's calibration Pearson (eval_utils.py:154-160
+            # calculate_distance_pose: elementwise rotmat MSE, mean over
+            # the 3x3).
+            metrics["pose_dist"] = jnp.mean(
+                (out["pred_pose"] - gt_rotmat) ** 2, axis=(-1, -2)
+            )
         return metrics
 
     return jax.jit(step)
@@ -114,6 +121,7 @@ class EvalResult:
     pa_mpjpe_mm: np.ndarray
     v2v_mm: np.ndarray
     uncert: np.ndarray | None = None
+    pose_dist: np.ndarray | None = None  # (N, 24) per-joint rotmat MSE
 
     def summary(self) -> dict[str, float]:
         s = {
@@ -124,11 +132,28 @@ class EvalResult:
         s["best_model_metric"] = best_model_metric(s["pa_mpjpe"], s["mpjpe"])
         if self.uncert is not None:
             per_sample_var = self.uncert.mean(axis=-1)
+            # Per-SAMPLE mm-space correlation (stricter than the
+            # reference's; kept for the mpjpe_var machinery below).
             s["uncert_mpjpe_corr"] = float(
                 uncert_error_correlation(
                     jnp.asarray(per_sample_var), jnp.asarray(self.mpjpe_mm)
                 )
             )
+            if (
+                self.pose_dist is not None
+                and self.uncert.shape == self.pose_dist.shape
+            ):
+                # The reference's calibration Pearson (trainer.py:380-383
+                # via save_results.accumulate_corr_vect): PER-JOINT
+                # rotation distance vs PER-JOINT prepared sigma, both
+                # flattened over (N, 24) — sigma_j is trained to scale
+                # joint j's residual, so this is the direct measure.
+                s["uncert_pose_corr"] = float(
+                    uncert_error_correlation(
+                        jnp.asarray(self.uncert.reshape(-1)),
+                        jnp.asarray(self.pose_dist.reshape(-1)),
+                    )
+                )
             # Var-MPJPE (reference trainer.py:374-377): per-sample error
             # divided by predicted variance — low means accurate AND
             # confident. The reference logs it and resolves a
@@ -216,9 +241,12 @@ def run_eval(
         uncert = prepare_uncert(
             np.concatenate(accum["var_pose"]), loss_ver=loss_ver
         )
+    pose_dist = (
+        np.concatenate(accum["pose_dist"]) if "pose_dist" in accum else None
+    )
     return EvalResult(
         imgnames=names, mpjpe_mm=mpj, pa_mpjpe_mm=pa, v2v_mm=v2v,
-        uncert=uncert,
+        uncert=uncert, pose_dist=pose_dist,
     )
 
 

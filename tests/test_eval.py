@@ -184,6 +184,10 @@ class TestEvalRunner:
         assert np.all(result.pa_mpjpe_mm <= result.mpjpe_mm + 1e-3)
         s = result.summary()
         assert "best_model_metric" in s
+        # reference calibration Pearson (per-joint sigma vs per-joint
+        # rotation distance) rides along whenever sigma is predicted
+        assert result.pose_dist is not None and result.pose_dist.shape == (8, 24)
+        assert "uncert_pose_corr" in s and np.isfinite(s["uncert_pose_corr"])
 
         report = pw3d_split_report(
             result.imgnames, result.mpjpe_mm, result.pa_mpjpe_mm,
