@@ -123,6 +123,10 @@ def main():
                          "branch shape + the stage4 fusion ladder alone")
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd per region (training attribution)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="compare the plain stem vs the space-to-depth "
+                         "stem (common.S2DStemConv) under the slope "
+                         "protocol; combine with --grad for fwd+bwd")
     args = ap.parse_args()
     if args.grad:
         global GRAD_MODE
@@ -152,6 +156,28 @@ def main():
             # slice 3 channels and tile 4x spatially (pure data movement)
             y = y[..., :3]
             return jnp.tile(y, (1, 4, 4, 1))
+
+    if args.s2d:
+        from poco_tpu.models.backbones.common import S2DStemConv
+
+        class StemS2D(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = S2DStemConv(64, kernel_size=3, name="conv1", dtype=dtype)(x)
+                y = nn.relu(batch_norm(False, name="bn1", dtype=dtype)(y))
+                y = conv(64, 3, 2, name="conv2", dtype=dtype)(y)
+                y = nn.relu(batch_norm(False, name="bn2", dtype=dtype)(y))
+                y = y[..., :3]
+                return jnp.tile(y, (1, 4, 4, 1))
+
+        x_img = jnp.asarray(np.random.randn(B, 224, 224, 3), dtype)
+        for name, m in (("stem plain", Stem()), ("stem s2d  ", StemS2D())):
+            v = m.init(rng, x_img)
+            lo = timed(make_repeat(m, N_LO), v, (x_img,))
+            hi = timed(make_repeat(m, N_HI), v, (x_img,))
+            t = max(hi - lo, 1e-9) / (N_HI - N_LO)
+            print(f"{name} B={B} {t * 1e3:8.3f} ms/apply", flush=True)
+        return
 
     class Layer1(nn.Module):
         @nn.compact
