@@ -100,8 +100,13 @@ class InferenceDataset:
                        for p in paths)
         ):
             return None
-        first = native_loader.read_image_rgb(paths[0])
-        orig_shape = np.array(first.shape[:2], np.float32)
+        # Per-frame dims via header probes (no pixel decode): CLIFF's
+        # orig_shape / focal_length / bbox_info conditioning must match
+        # the per-item path even when frame sizes differ mid-tracklet
+        # (arbitrary image folders, not just uniform ffmpeg extracts).
+        orig_shapes = np.array(
+            [native_loader.image_size(p) for p in paths], np.float32
+        )
         centers = np.ascontiguousarray(self.bboxes[:, :2], np.float32)
         bbox_sizes = (
             np.maximum(self.bboxes[:, 2], self.bboxes[:, 3])
@@ -112,21 +117,19 @@ class InferenceDataset:
         )
         if statuses.any():
             return None
-        n = len(paths)
         scales = bbox_sizes / 200.0
         return {
             "img": crops,
             "scale": scales,
             "center": centers,
-            "orig_shape": np.tile(orig_shape, (n, 1)),
-            "focal_length": np.full(
-                n, np.sqrt(orig_shape[0] ** 2 + orig_shape[1] ** 2),
-                np.float32,
-            ),
+            "orig_shape": orig_shapes,
+            "focal_length": np.sqrt(
+                orig_shapes[:, 0] ** 2 + orig_shapes[:, 1] ** 2
+            ).astype(np.float32),
             "bbox_info": np.stack(
                 [
-                    calculate_bbox_info_np(c, s, orig_shape)
-                    for c, s in zip(centers, scales)
+                    calculate_bbox_info_np(c, s, o)
+                    for c, s, o in zip(centers, scales, orig_shapes)
                 ]
             ),
             "frame_id": self.frames.astype(np.int32),

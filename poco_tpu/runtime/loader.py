@@ -220,6 +220,42 @@ def read_image_rgb(path: str) -> np.ndarray:
     return img[:, :, ::-1]
 
 
+def image_size(path: str) -> tuple[int, int]:
+    """(height, width) from the file header WITHOUT decoding pixels.
+
+    Pure-Python probe of the PNG IHDR / JPEG SOFn markers — a few
+    hundred bytes of IO per file, so per-frame image dimensions (CLIFF's
+    full-image camera conditioning needs them) stay cheap even for
+    thousand-frame tracklets. Falls back to a full decode for anything
+    else.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(32)
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", head[16:24])
+            return int(h), int(w)
+        if head[:2] == b"\xff\xd8":  # JPEG: walk markers to SOFn
+            f.seek(2)
+            while True:
+                seg = f.read(4)
+                if len(seg) < 4:
+                    break
+                if seg[0] != 0xFF:
+                    break
+                marker, ln = seg[1], struct.unpack(">H", seg[2:4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    body = f.read(5)
+                    h, w = struct.unpack(">HH", body[1:5])
+                    return int(h), int(w)
+                f.seek(ln - 2, 1)
+    img = read_image_rgb(path)
+    return int(img.shape[0]), int(img.shape[1])
+
+
 def read_images_rgb(paths: list[str], num_threads: int = 8) -> list[np.ndarray]:
     """Read many images in parallel (ctypes releases the GIL during the
     native decode, so Python threads give real parallelism on JPEG)."""

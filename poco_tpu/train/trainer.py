@@ -624,29 +624,69 @@ class Trainer:
 
         from collections.abc import Mapping
 
-        def _merge(tmpl, rest):
+        def _merge(tmpl, rest, path="", missing=None, extra=None):
+            if missing is None:
+                missing, extra = [], []
             if tmpl is None or rest is None:
+                # only a real loss if the template subtree has leaves
+                if tmpl is not None and jax.tree_util.tree_leaves(tmpl):
+                    missing.append(path or "<root>")
                 return tmpl
             if isinstance(tmpl, Mapping):
+                if not isinstance(rest, Mapping):
+                    missing.append(path or "<root>")
+                    return dict(tmpl)
+                for k in rest:
+                    if k not in tmpl:
+                        extra.append(f"{path}/{k}")
                 return {
-                    k: (_merge(v, rest.get(k))
-                        if isinstance(rest, Mapping) else v)
+                    k: _merge(v, rest.get(k), f"{path}/{k}", missing, extra)
                     for k, v in tmpl.items()
                 }
-            return jnp.asarray(rest)
+            if isinstance(rest, Mapping):
+                # template leaf vs restored subtree: structural mismatch
+                missing.append(path or "<root>")
+                return tmpl
+            arr = jnp.asarray(rest)
+            if hasattr(tmpl, "shape") and arr.shape != tmpl.shape:
+                missing.append(f"{path} (shape {arr.shape}!={tmpl.shape})")
+                return tmpl
+            return arr
 
+        # Model state (params/batch_stats/buffers) must restore EXACTLY:
+        # a key silently kept at fresh init would "resume" from
+        # partially-garbage weights. Only opt_state gets the lenient
+        # merge (optimizer-layout drift across versions is the reason
+        # the template-free restore exists).
+        merged, dropped = {}, {}
+        for coll in ("params", "batch_stats", "buffers"):
+            miss, ext = [], []
+            merged[coll] = _merge(
+                getattr(self.state, coll), restored.get(coll), coll,
+                miss, ext,
+            )
+            if miss or ext:
+                raise ValueError(
+                    f"checkpoint {path!r} does not match the model: "
+                    f"{coll} missing/mismatched={miss[:10]} "
+                    f"extra={ext[:10]} (counts {len(miss)}/{len(ext)})"
+                )
         self.state = self.state.replace(
-            params=_merge(self.state.params, restored["params"]),
-            batch_stats=_merge(
-                self.state.batch_stats, restored["batch_stats"]
-            ),
-            buffers=_merge(self.state.buffers, restored["buffers"]),
+            params=merged["params"],
+            batch_stats=merged["batch_stats"],
+            buffers=merged["buffers"],
             step=jnp.asarray(restored["step"]),
         )
         if restored.get("opt_state") is not None:
+            miss, ext = [], []
             self.state = self.state.replace(
-                opt_state=_merge(self.state.opt_state, restored["opt_state"])
+                opt_state=_merge(
+                    self.state.opt_state, restored["opt_state"],
+                    "opt_state", miss, ext,
+                )
             )
+            if miss or ext:
+                dropped["opt_state"] = {"kept_init": miss, "ignored": ext}
             # the restored lr_scale was relative to the OLD tx's base
             # LR; the rebuilt tx bakes the restored plateau LR in, so
             # re-normalize the scale against the new base (=> 1.0)
@@ -655,6 +695,8 @@ class Trainer:
         self._log({
             "event": "resume", "path": path,
             "epoch": self.epoch, "with_sidecar": ts is not None,
+            **({"opt_state_layout_drift": dropped["opt_state"]}
+               if dropped else {}),
         })
 
     # ------------------------------------------------------------------

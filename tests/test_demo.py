@@ -320,6 +320,45 @@ class TestNativeVideoPath:
         assert np.abs(batch["img"] - crops).max() <= 2.0
         np.testing.assert_array_equal(batch["frame_id"], [0, 1, 2, 3])
 
+    def test_image_size_header_probe(self, tmp_path):
+        from poco_tpu.runtime.loader import image_size
+
+        rng = np.random.RandomState(7)
+        for ext, shape in ((".jpg", (130, 90)), (".png", (75, 211))):
+            img = rng.randint(0, 255, (*shape, 3), dtype=np.uint8)
+            p = str(tmp_path / f"probe{ext}")
+            cv2.imwrite(p, img)
+            assert image_size(p) == shape
+
+    def test_load_all_mixed_frame_sizes(self, tmp_path):
+        """Per-frame CLIFF conditioning (orig_shape/focal/bbox_info)
+        must match the per-item path even when frame sizes differ
+        mid-tracklet (arbitrary image folders)."""
+        from poco_tpu.data.inference import InferenceDataset
+        from poco_tpu.runtime.loader import native_available
+
+        rng = np.random.RandomState(11)
+        for i, (h, w) in enumerate([(120, 160), (96, 128), (150, 200)]):
+            img = rng.randint(40, 200, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(str(tmp_path / f"{i:06d}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+        ds = InferenceDataset(
+            str(tmp_path), frames=[0, 1, 2],
+            bboxes=np.array([[80, 60, 60, 90]] * 3, np.float32),
+        )
+        batch = ds.load_all()
+        if not native_available():
+            assert batch is None
+            pytest.skip("native loader unavailable")
+        items = [ds[i] for i in range(3)]
+        for k in ("orig_shape", "focal_length", "bbox_info"):
+            np.testing.assert_allclose(
+                batch[k], np.stack([it[k] for it in items]), rtol=1e-6,
+                err_msg=k,
+            )
+        # the three frames really do have distinct conditioning
+        assert len({tuple(r) for r in batch["orig_shape"]}) == 3
+
     def test_load_all_png_native_or_fallback(self, frame_folder):
         """PNG tracklets take the native whole-batch path when the lib
         was built with libpng (matching the per-item crops); on a

@@ -156,3 +156,116 @@ class TestGoldenOutputs:
             np.testing.assert_allclose(
                 np.asarray(out["var_pose"]), golden["var_pose"], atol=1e-3
             )
+
+
+class TestGoldenGateSelfCheck:
+    """Execute tools/golden_gate.py END TO END, no licensed assets.
+
+    Synthetic stand-ins in the REAL formats: SMPL npz files in the
+    distribution layout (neutral + DISTINCT male/female geometry, so the
+    gendered-GT path is exercised), a reference-format full-width torch
+    checkpoint built from the actual /root/reference modules, and the
+    committed smoke dataset. Both sides share the same SMPL assets, so
+    the measured JAX-vs-torch MPJPE delta isolates conversion +
+    torch-vs-XLA fp32 noise and the gate must PASS well inside its
+    0.5 mm budget. This guards the gate SCRIPT itself — protocol
+    symmetry between eval_jax and eval_torch_reference (gendered GT,
+    neutral predictions, same J14 selection) — which would otherwise
+    execute for the first time in the field.
+    """
+
+    def _write_smpl_npz(self, path, seed):
+        from poco_tpu.constants import SMPL_PARENTS
+        from poco_tpu.smpl.assets import synthetic_smpl_model
+
+        p = synthetic_smpl_model(num_verts=512, seed=seed)
+        kintree = np.stack([
+            np.asarray(SMPL_PARENTS, np.int64),
+            np.arange(24, dtype=np.int64),
+        ])
+        np.savez(
+            path,
+            v_template=np.asarray(p.v_template),
+            shapedirs=np.asarray(p.shapedirs),
+            posedirs=np.asarray(p.posedirs),
+            J_regressor=np.asarray(p.j_regressor),
+            weights=np.asarray(p.lbs_weights),
+            kintree_table=kintree,
+            f=np.asarray(p.faces),
+        )
+
+    def test_gate_passes_on_synthetic_assets(self, tmp_path, monkeypatch,
+                                             capsys):
+        import json
+        import runpy
+        import sys as _sys
+
+        import torch
+
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ref_torch import (
+            calibrate_bn,
+            import_reference_modules,
+            randomize_bn_stats,
+        )
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        smpl_dir = tmp_path / "smpl"
+        smpl_dir.mkdir()
+        for gender, seed in (("NEUTRAL", 0), ("MALE", 1), ("FEMALE", 2)):
+            self._write_smpl_npz(str(smpl_dir / f"SMPL_{gender}.npz"), seed)
+
+        ref = import_reference_modules(tmp_path)
+        torch.manual_seed(0)
+        backbone = ref.hrnet_w48_cls()
+        head = ref.cliff_head(2048, "diff_branch", "sigmoid")
+        uncert = ref.poco_head(
+            2048, [216], 1, "sigmoid", True, "diff_branch", [],
+            "norm_flow_res_gaus", "pose", "feat-pose-net",
+            True, "h36m", 0.25,
+        )
+        flow = ref.nf_head("pose", 1, "", "alter", [], 9, True, 2048, 512)
+        randomize_bn_stats(backbone, seed=1)
+        # Uncalibrated random BN stats compound over the 70-layer net and
+        # blow activations (and thus predicted betas/pose) to 1e8-scale;
+        # calibrate so outputs sit in the O(1) regime the mm budget is
+        # written for (same protocol as tests/test_fullwidth_parity.py).
+        backbone.eval()
+        calibrate_bn(
+            backbone,
+            torch.randn(4, 3, 224, 224,
+                        generator=torch.Generator().manual_seed(5)),
+        )
+        sd = {}
+        for prefix, mod in (
+            ("backbone", backbone), ("head", head),
+            ("uncert_head", uncert), ("flow_head", flow),
+        ):
+            sd.update(
+                {f"{prefix}.{k}": v for k, v in mod.state_dict().items()}
+            )
+        ckpt = str(tmp_path / "ref_poco_cliff.pt")
+        torch.save({"model": sd}, ckpt)
+
+        monkeypatch.setattr(_sys, "argv", [
+            "golden_gate.py",
+            "--smpl_dir", str(smpl_dir),
+            "--torch_ckpt", ckpt,
+            "--data_dir", os.path.join(repo, "data"),
+            "--dataset", "smoke",
+            "--batch_size", "8",
+        ])
+        monkeypatch.chdir(repo)
+        with pytest.raises(SystemExit) as exc:
+            runpy.run_path(
+                os.path.join(repo, "tools", "golden_gate.py"),
+                run_name="__main__",
+            )
+        out = capsys.readouterr().out
+        verdict = json.loads(out.strip().splitlines()[-1])
+        assert exc.value.code == 0, verdict
+        assert verdict["pass"] is True
+        assert verdict["delta_mm"] <= 0.5
+        # both sides produced a real, nonzero error measurement
+        assert verdict["mpjpe_jax_mm"] > 0.1

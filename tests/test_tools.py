@@ -47,18 +47,26 @@ class TestDetectorQuality:
 
     def test_gt_boxes_from_npz_part(self, tmp_path):
         dq = _load("detector_quality")
-        part = np.zeros((2, 5, 3), np.float32)
+        part = np.zeros((3, 5, 3), np.float32)
         part[0, :, :2] = [[10, 10], [30, 10], [30, 40], [10, 40], [20, 25]]
         part[0, :, 2] = 1.0
         part[1, :, 2] = 0.0  # invisible -> no GT box
+        # partially visible: invisible joints stored as (0,0,0) — they
+        # must NOT drag the box corner to the image origin
+        part[2, :2, :2] = [[100, 100], [140, 160]]
+        part[2, :2, 2] = 1.0
         p = tmp_path / "gt.npz"
-        np.savez(p, imgname=np.array(["a.jpg", "b.jpg"]), part=part)
+        np.savez(p, imgname=np.array(["a.jpg", "b.jpg", "c.jpg"]),
+                 part=part)
         names, boxes = dq.gt_boxes_from_npz(str(p))
-        assert names == ["a.jpg", "b.jpg"]
+        assert names == ["a.jpg", "b.jpg", "c.jpg"]
         assert boxes[0].shape == (1, 4)
         assert boxes[1].shape[0] == 0
         cx, cy = boxes[0][0, :2]
         assert 15 <= cx <= 25 and 20 <= cy <= 30
+        cx2, cy2, w2, h2 = boxes[2][0]
+        assert cx2 == pytest.approx(120) and cy2 == pytest.approx(130)
+        assert w2 == pytest.approx(60 * 1.1)  # visible extent only
 
     def test_convergence_dataset_schema(self, tmp_path):
         cb = _load("convergence_bench")

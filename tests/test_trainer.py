@@ -411,6 +411,22 @@ class TestTrainerEndToEnd:
             assert "lr_scale" in t2.state.opt_state
             t2.fit(max_epochs=2)  # and training continues
 
+        # But MODEL-state mismatch is fatal, not silent: a checkpoint
+        # from a different model config must not "resume" with part of
+        # the tree left at fresh init.
+        bad = dict(payload)
+        bad["params"] = {
+            k: v for k, v in payload["params"].items()
+            if k != sorted(payload["params"])[0]
+        }
+        path = _rewrite("missing_param_module", bad)
+        t3 = Trainer(
+            self._small_hparams(tmp_path / "resume_bad"), smpl,
+            train_dataset_fn=lambda e: ds, val_dataset=None,
+        )
+        with pytest.raises(ValueError, match="does not match the model"):
+            t3.load_checkpoint(path)
+
 
 class TestTrainerVizAndStats:
     def test_save_images_and_uncert_stats(self, tmp_path):

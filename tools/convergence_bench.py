@@ -181,13 +181,14 @@ def main():
     # newest convergence logdir (nested under logs/experiments/<method>/)
     import glob
 
-    cands = sorted(
-        glob.glob(os.path.join(REPO, "logs", "**", "convergence_ID*"),
-                  recursive=True)
+    # Newest by mtime: the dir names embed %d-%m-%Y timestamps, which do
+    # NOT sort chronologically as strings (day field first).
+    cands = glob.glob(
+        os.path.join(REPO, "logs", "**", "convergence_ID*"), recursive=True
     )
     if not cands:
         raise SystemExit("no convergence logdir found")
-    logdir = cands[-1]
+    logdir = max(cands, key=os.path.getmtime)
 
     report = "/tmp/convergence_eval.json"
     r = subprocess.run(

@@ -54,11 +54,13 @@ def gt_boxes_from_npz(npz_path: str) -> tuple[list[str], list[np.ndarray]]:
 
         boxes = []
         for kp in d["part"]:
+            # Only visible keypoints: invisible joints are stored as
+            # (0, 0, 0) and would drag the box corner to the origin.
             vis = kp[kp[:, 2] > 0.5]
             if len(vis) < 2:
                 boxes.append(np.zeros((0, 4), np.float32))
                 continue
-            boxes.append(np.atleast_2d(bbox_from_kp2d(kp)))
+            boxes.append(np.atleast_2d(bbox_from_kp2d(vis)))
     return names, boxes
 
 

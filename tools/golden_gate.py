@@ -120,11 +120,12 @@ def eval_torch_reference(args, hparams) -> float:
 
     from poco_tpu.config import dataset_npz_path
     from poco_tpu.data.dataset import PocoDataset
+    from poco_tpu.eval.metrics import joints_from_vertices
     from poco_tpu.eval.metrics import mpjpe as mpjpe_fn
     from poco_tpu.ops.rotation import axis_angle_to_rotmat
     from poco_tpu.smpl.assets import resolve_smpl_params
-    from poco_tpu.smpl.model import smpl_49
-    from poco_tpu.constants import J24_TO_J14
+    from poco_tpu.smpl.lbs import smpl_forward
+    from poco_tpu.constants import SMPL_J24_TO_COMMON_J14
 
     import jax
     import jax.numpy as jnp
@@ -138,8 +139,44 @@ def eval_torch_reference(args, hparams) -> float:
         g: resolve_smpl_params(args.smpl_dir, g)
         for g in ("neutral", "male", "female")
     }
-    fwd49 = jax.jit(smpl_49)
-    sel = np.asarray(J24_TO_J14)
+    j_reg = _h36m_regressor(args)
+
+    # EXACT mirror of the JAX eval protocol (eval/runner.py
+    # make_gendered_eval_step): predictions through the NEUTRAL SMPL
+    # (that is what the model's smpl head uses), GT through the gendered
+    # SMPL, then either H36M-regressed pelvis-centered J14 (when the
+    # regressor asset is present — both sides see the same _h36m_regressor)
+    # or the SMPL-skeleton J14 fallback with hip-midpoint centering. Any
+    # protocol asymmetry here would masquerade as conversion error and
+    # corrupt the 0.5 mm budget.
+    # SMPL params go in as jit ARGUMENTS (closure constants this large
+    # overflow the axon remote_compile request).
+    @jax.jit
+    def joints14(smpl_n, smpl_m, smpl_f, rot, shp, gt_rot, gt_betas,
+                 gender):
+        pred = smpl_forward(smpl_n, shp, rot)
+        out_n = smpl_forward(smpl_n, gt_betas, gt_rot)
+        out_m = smpl_forward(smpl_m, gt_betas, gt_rot)
+        out_f = smpl_forward(smpl_f, gt_betas, gt_rot)
+        g = gender.reshape(-1, 1, 1)
+        gt_verts = jnp.where(
+            g == 1, out_f.vertices,
+            jnp.where(g == 0, out_m.vertices, out_n.vertices),
+        )
+        gt_j24 = jnp.where(
+            g == 1, out_f.joints_lbs,
+            jnp.where(g == 0, out_m.joints_lbs, out_n.joints_lbs),
+        )
+        if j_reg is not None:
+            pred_j14 = joints_from_vertices(j_reg, pred.vertices)
+            gt_j14 = joints_from_vertices(j_reg, gt_verts)
+        else:
+            sel = jnp.asarray(SMPL_J24_TO_COMMON_J14)
+            pred_j = pred.joints_lbs[:, sel]
+            gt_j = gt_j24[:, sel]
+            pred_j14 = pred_j - (pred_j[:, 2:3] + pred_j[:, 3:4]) / 2.0
+            gt_j14 = gt_j - (gt_j[:, 2:3] + gt_j[:, 3:4]) / 2.0
+        return mpjpe_fn(pred_j14, gt_j14)
 
     from poco_tpu.constants import IMG_NORM_MEAN, IMG_NORM_STD
 
@@ -165,31 +202,30 @@ def eval_torch_reference(args, hparams) -> float:
                 if "pare" in hparams.POCO.BACKBONE
                 else head(feats, {"bbox_info": bbox_info})
             )
-        rot = np.asarray(out["pred_pose"], np.float32)
-        shp = np.asarray(out["pred_shape"], np.float32)
-        for k, it in enumerate(items):
-            g = int(it.get("gender", -1))  # 0=male, 1=female (dataset.py)
-            smpl = smpl_by_gender[
-                {0: "male", 1: "female"}.get(g, "neutral")
-            ]
-            _, j49p = fwd49(
-                smpl, jnp.asarray(shp[k:k + 1]), jnp.asarray(rot[k:k + 1])
-            )
-            gt_rot = axis_angle_to_rotmat(
-                jnp.asarray(np.asarray(it["pose"]).reshape(-1, 3))
-            ).reshape(1, 24, 3, 3)
-            _, j49g = fwd49(
-                smpl, jnp.asarray(np.asarray(it["betas"])[None]), gt_rot
-            )
-            pj = np.asarray(j49p)[0, 25:][sel]
-            gj = np.asarray(j49g)[0, 25:][sel]
-            pj -= (pj[2] + pj[3]) / 2.0
-            gj -= (gj[2] + gj[3]) / 2.0
-            errs.append(
-                float(
-                    mpjpe_fn(jnp.asarray(pj[None]), jnp.asarray(gj[None]))[0]
+        rot = jnp.asarray(np.asarray(out["pred_pose"], np.float32))
+        shp = jnp.asarray(np.asarray(out["pred_shape"], np.float32))
+        n = len(items)
+        gt_rot = axis_angle_to_rotmat(
+            jnp.asarray(
+                np.stack([np.asarray(it["pose"]) for it in items])
+            ).reshape(-1, 3)
+        ).reshape(n, 24, 3, 3)
+        gt_betas = jnp.asarray(
+            np.stack([np.asarray(it["betas"]) for it in items])
+        )
+        gender = jnp.asarray(
+            np.array([int(it.get("gender", -1)) for it in items],
+                     np.int32)
+        )
+        errs.extend(
+            np.asarray(
+                joints14(
+                    smpl_by_gender["neutral"], smpl_by_gender["male"],
+                    smpl_by_gender["female"], rot, shp, gt_rot, gt_betas,
+                    gender,
                 )
-            )
+            ).tolist()
+        )
     return float(np.mean(errs) * 1000.0)
 
 
