@@ -29,6 +29,12 @@ def main():
 
     import jax
 
+    # Conversion is pure host work (init a param tree, rename tensors,
+    # save orbax): run it on CPU. This also keeps the tool usable when
+    # the TPU tunnel is down — the axon plugin ignores the JAX_PLATFORMS
+    # env var and would otherwise hang initializing the backend.
+    jax.config.update("jax_platforms", "cpu")
+
     from poco_tpu.utils.comp_cache import enable_compilation_cache
 
     enable_compilation_cache()
