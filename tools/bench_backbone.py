@@ -127,6 +127,12 @@ def main():
                     help="compare the plain stem vs the space-to-depth "
                          "stem (common.S2DStemConv) under the slope "
                          "protocol; combine with --grad for fwd+bwd")
+    ap.add_argument("--pare", action="store_true",
+                    help="attribute the PARE head (shipped w32-pare "
+                         "config shape): full head + conv branches + "
+                         "attention pooling + per-joint decoders; "
+                         "combine with --width 32 runs for the backbone "
+                         "side")
     args = ap.parse_args()
     if args.grad:
         global GRAD_MODE
@@ -177,6 +183,101 @@ def main():
             hi = timed(make_repeat(m, N_HI), v, (x_img,))
             t = max(hi - lo, 1e-9) / (N_HI - N_LO)
             print(f"{name} B={B} {t * 1e3:8.3f} ms/apply", flush=True)
+        return
+
+    if args.pare:
+        from poco_tpu.models.heads.pare import PareHead
+        from poco_tpu.models.layers import (
+            PerPositionConv1x1,
+            keypoint_attention,
+        )
+
+        x480 = jnp.asarray(np.random.randn(B, 56, 56, 480), dtype)
+
+        class FullHead(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                out = PareHead(dtype=dtype, name="head")(x, train=False)
+                # chainable: feed a probe of the outputs back into x's shape
+                return out
+
+        class ConvBranches(nn.Module):
+            """The two deconv branches: 2x [3x3 conv 128 -> BN -> ReLU]
+            each over 56x56x480 (pare.py:117-126, both branches)."""
+
+            @nn.compact
+            def __call__(self, x):
+                ys = []
+                for br in ("kd", "sd"):
+                    y = x
+                    for i in range(2):
+                        y = conv(128, 3, 1, name=f"{br}{i}", dtype=dtype)(y)
+                        y = batch_norm(
+                            False, name=f"{br}bn{i}", dtype=dtype
+                        )(y)
+                        y = nn.relu(y)
+                    ys.append(y)
+                return tuple(ys)
+
+        class AttnFinals(nn.Module):
+            """Final 1x1 convs (J+1 seg logits, 64 smpl feats) + the two
+            keypoint-attention poolings (pare.py:234-290)."""
+
+            @nn.compact
+            def __call__(self, pf, sf):
+                hm = jnp.transpose(
+                    conv(25, 1, 1, padding=0, use_bias=True, name="kf",
+                         dtype=dtype)(pf),
+                    (0, 3, 1, 2),
+                )[:, 1:]
+                csf = conv(64, 1, 1, padding=0, use_bias=True, name="sf",
+                           dtype=dtype)(sf)
+                plf = keypoint_attention(
+                    jnp.transpose(sf, (0, 3, 1, 2)), hm, act="softmax",
+                    use_scale=False,
+                )
+                csp = keypoint_attention(
+                    jnp.transpose(csf, (0, 3, 1, 2)), hm, act="softmax",
+                    use_scale=False,
+                )
+                return plf, csp
+
+        class Decoders(nn.Module):
+            """Per-joint pose MLP + shape/cam MLPs (pare.py:325-354)."""
+
+            @nn.compact
+            def __call__(self, plf, csp):
+                pose = PerPositionConv1x1(
+                    6, (24, 1), name="pose_mlp", dtype=dtype
+                )(plf[..., None])
+                flat = csp.reshape(B, -1)
+                return (
+                    pose,
+                    nn.Dense(10, name="shape_mlp", dtype=dtype)(flat),
+                    nn.Dense(3, name="cam_mlp", dtype=dtype)(flat),
+                )
+
+        x128 = jnp.asarray(np.random.randn(B, 56, 56, 128), dtype)
+        plf0 = jnp.asarray(np.random.randn(B, 128, 24), dtype)
+        csp0 = jnp.asarray(np.random.randn(B, 64, 24), dtype)
+        pare_regions = [
+            ("pare head FULL (480ch in)", FullHead(), (x480,)),
+            ("conv branches (2x2 convs)", ConvBranches(), (x480,)),
+            ("finals + 2x kp attention", AttnFinals(), (x128, x128)),
+            ("per-joint decoders", Decoders(), (plf0, csp0)),
+        ]
+        for name, m, xs in pare_regions:
+            v = m.init(rng, *xs)
+            lo = timed(make_repeat(m, N_LO), v, xs)
+            hi = timed(make_repeat(m, N_HI), v, xs)
+            t = max(hi - lo, 1e-9) / (N_HI - N_LO)
+            tf, gb = region_cost(m, v, xs)
+            print(
+                f"{name:28s} B={B} {t * 1e3:8.3f} ms "
+                f"{tf:6.3f} TFLOP {gb:5.2f} GB -> "
+                f"{tf / t:6.1f} TF/s {gb / t:6.0f} GB/s",
+                flush=True,
+            )
         return
 
     class Layer1(nn.Module):
