@@ -177,7 +177,31 @@ def bench_train_step(dtype) -> dict:
     )
 
 
+def _await_backend(max_tries: int = 5, sleep_s: float = 60.0) -> None:
+    """Retry backend init through transient tunnel outages.
+
+    The axon TPU tunnel can drop and return (observed: multi-hour
+    outage 2026-08-17); the driver runs this script exactly once per
+    round, so a single failed init must not cost the round's benchmark
+    artifact. Bounded: ~5 minutes of retries, then the original error.
+    """
+    for attempt in range(max_tries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError:
+            if attempt == max_tries - 1:
+                raise
+            print(
+                f"backend init failed (attempt {attempt + 1}/{max_tries}),"
+                f" retrying in {sleep_s:.0f}s",
+                flush=True,
+            )
+            time.sleep(sleep_s)
+
+
 def main():
+    _await_backend()
     dtype = (
         jnp.bfloat16
         if os.environ.get("POCO_BENCH_BF16", "1") == "1"
