@@ -37,7 +37,13 @@ import jax.numpy as jnp
 
 from ...ops.rotation import rot6d_to_rotmat
 from ...smpl.mean_params import load_mean_params
-from ..backbones.common import batch_norm, conv
+from ..backbones.common import (
+    LaneConv,
+    _pad_last,
+    batch_norm,
+    conv,
+    lane_pad_target,
+)
 from ..layers import (
     PerPositionConv1x1,
     get_heatmap_preds,
@@ -89,6 +95,13 @@ class PareHead(nn.Module):
     use_position_encodings: bool = False
     use_keypoint_features_for_smpl: bool = False
     mean_params_path: str | None = None
+    # Lane-pad the branch conv0 input contraction (480 -> 512 for the
+    # shipped w32 concat map): the 480-channel contraction leaves a
+    # 96-lane remainder tile on the MXU (common.lane_pad_target). Exact
+    # math — padded input channels are zero — modulo float-add order, so
+    # None (default) mirrors HRNet.lane_pad: enabled for bf16 compute,
+    # canonical op order for fp32 (the parity/golden-gate dtype).
+    lane_pad: bool | None = None
     dtype: Any = jnp.float32
 
     @property
@@ -114,13 +127,25 @@ class PareHead(nn.Module):
             return False
         return self.use_keypoint_features_for_smpl
 
-    def _conv_branch(self, x, name: str, train: bool):
-        """2x [3x3 conv (no bias) -> BN -> ReLU] (pare_head.py:468-491)."""
+    def _conv_branch(self, x, name: str, train: bool, logical_in: int | None = None):
+        """2x [3x3 conv (no bias) -> BN -> ReLU] (pare_head.py:468-491).
+
+        When `logical_in` differs from x's channel count, x is the
+        lane-padded input and conv0 runs as a LaneConv (logical kernel
+        shape, zero-padded contraction — checkpoint compatible).
+        """
         for i in range(self.num_deconv_layers):
-            x = conv(
-                self.num_deconv_filters[i], 3, 1,
-                name=f"{name}_conv{i}", dtype=self.dtype,
-            )(x)
+            if i == 0 and logical_in is not None and x.shape[-1] != logical_in:
+                x = LaneConv(
+                    self.num_deconv_filters[i], logical_in, 3,
+                    pad_in=x.shape[-1],
+                    name=f"{name}_conv{i}", dtype=self.dtype,
+                )(x)
+            else:
+                x = conv(
+                    self.num_deconv_filters[i], 3, 1,
+                    name=f"{name}_conv{i}", dtype=self.dtype,
+                )(x)
             x = batch_norm(train, name=f"{name}_bn{i}", dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
@@ -221,13 +246,28 @@ class PareHead(nn.Module):
             )
 
         # --- dual conv branches (NHWC) ---
-        part_feats = self._conv_branch(features, "keypoint_deconv", train)
+        use_lp = (
+            self.lane_pad
+            if self.lane_pad is not None
+            else self.dtype == jnp.bfloat16
+        )
+        cin = features.shape[-1]
+        branch_in = features
+        logical_in = None
+        if use_lp and lane_pad_target(cin) != cin:
+            branch_in = _pad_last(features, lane_pad_target(cin))
+            logical_in = cin
+        part_feats = self._conv_branch(
+            branch_in, "keypoint_deconv", train, logical_in
+        )
         if branch_nl_2d is not None:
             part_feats = branch_nl_2d(part_feats, train)
         if self._use_kp_feats_for_smpl:
             smpl_feats = part_feats  # pare_head.py:772 / 950
         else:
-            smpl_feats = self._conv_branch(features, "smpl_deconv", train)
+            smpl_feats = self._conv_branch(
+                branch_in, "smpl_deconv", train, logical_in
+            )
             if branch_nl_3d is not None:
                 smpl_feats = branch_nl_3d(smpl_feats, train)
 

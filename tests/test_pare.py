@@ -140,6 +140,52 @@ class TestPareHead:
         assert var.shape == (2, 24)
         assert np.all(var > 0) and np.all(var < 1)
 
+    def test_lane_pad_exact_and_checkpoint_compatible(self):
+        """lane_pad pads the 480-ch branch conv0 contraction to 512 with
+        zeros: identical param tree (logical kernel shapes) and equal
+        outputs for the same params, in eval AND train modes."""
+        rng = np.random.RandomState(7)
+        f = jnp.asarray(rng.randn(2, 56, 56, 480), jnp.float32)
+        plain = PareHead(num_input_features=480, lane_pad=False)
+        padded = PareHead(num_input_features=480, lane_pad=True)
+        v_plain = plain.init(jax.random.PRNGKey(0), f)
+        v_padded = padded.init(jax.random.PRNGKey(0), f)
+        assert jax.tree_util.tree_structure(
+            v_plain
+        ) == jax.tree_util.tree_structure(v_padded)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(v_plain),
+            jax.tree_util.tree_leaves(v_padded),
+        ):
+            assert a.shape == b.shape
+        out_p = plain.apply(v_plain, f)
+        out_q = padded.apply(v_plain, f)
+        assert set(out_p) == set(out_q)
+        for k in out_p:
+            np.testing.assert_allclose(
+                np.asarray(out_q[k]), np.asarray(out_p[k]), atol=3e-5,
+                err_msg=k,
+            )
+        # train mode: batch_stats updates must match too
+        (out_pt, m_p) = plain.apply(
+            v_plain, f, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        (out_qt, m_q) = padded.apply(
+            v_plain, f, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_qt["pred_pose"]),
+            np.asarray(out_pt["pred_pose"]), atol=3e-5,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(m_p), jax.tree_util.tree_leaves(m_q)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            )
+
 
 class TestPocoPare:
     def test_full_model_tiny_backbone(self):

@@ -26,8 +26,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import flax.linen as nn
 import jax
+
+if "--cpu" in sys.argv:
+    # The axon plugin ignores the JAX_PLATFORMS env var; force the host
+    # platform programmatically for smoke runs while the tunnel is down.
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
+import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
@@ -195,9 +202,13 @@ def main():
         x480 = jnp.asarray(np.random.randn(B, 56, 56, 480), dtype)
 
         class FullHead(nn.Module):
+            lane_pad: bool = False
+
             @nn.compact
             def __call__(self, x):
-                out = PareHead(dtype=dtype, name="head")(x, train=False)
+                out = PareHead(
+                    dtype=dtype, lane_pad=self.lane_pad, name="head"
+                )(x, train=False)
                 # chainable: feed a probe of the outputs back into x's shape
                 return out
 
@@ -260,11 +271,92 @@ def main():
         x128 = jnp.asarray(np.random.randn(B, 56, 56, 128), dtype)
         plf0 = jnp.asarray(np.random.randn(B, 128, 24), dtype)
         csp0 = jnp.asarray(np.random.randn(B, 64, 24), dtype)
+        class ConvBranchesLP(nn.Module):
+            """ConvBranches with the conv0 contraction lane-padded
+            480 -> 512 (heads.pare lane_pad option)."""
+
+            @nn.compact
+            def __call__(self, x):
+                from poco_tpu.models.backbones.common import (
+                    LaneConv,
+                    _pad_last,
+                    lane_pad_target,
+                )
+
+                xp = _pad_last(x, lane_pad_target(x.shape[-1]))
+                ys = []
+                for br in ("kd", "sd"):
+                    y = LaneConv(
+                        128, x.shape[-1], 3, pad_in=xp.shape[-1],
+                        name=f"{br}0", dtype=dtype,
+                    )(xp)
+                    y = batch_norm(False, name=f"{br}bn0", dtype=dtype)(y)
+                    y = nn.relu(y)
+                    y = conv(128, 3, 1, name=f"{br}1", dtype=dtype)(y)
+                    y = batch_norm(False, name=f"{br}bn1", dtype=dtype)(y)
+                    y = nn.relu(y)
+                    ys.append(y)
+                return tuple(ys)
+
+        from poco_tpu.models.backbones.hrnet import (
+            resize_bilinear_align_corners,
+        )
+
+        class PoseMerge(nn.Module):
+            """The w32 pose-variant merge replicated inline: bilinear
+            -upsample + conv + BN + ReLU chains for branches 1-3, concat
+            to 480ch (hrnet.py _pose_merge, use_conv path). Benchmarked
+            standalone because the 28->56 128/256-ch convs at 56x56 are
+            merge-only FLOPs."""
+
+            @nn.compact
+            def __call__(self, *xs):
+                outs = [xs[0]]
+                for b in range(1, 4):
+                    z = xs[b]
+                    for k in range(b):
+                        h, wd = z.shape[1] * 2, z.shape[2] * 2
+                        z = resize_bilinear_align_corners(z, h, wd)
+                        z = conv(
+                            z.shape[-1], 3, 1,
+                            name=f"up{b}_conv{k}", dtype=dtype,
+                        )(z)
+                        z = batch_norm(
+                            False, name=f"up{b}_bn{k}", dtype=dtype
+                        )(z)
+                        z = nn.relu(z)
+                    outs.append(z)
+                y = jnp.concatenate(outs, axis=-1)
+                probe = (1e-12 * jnp.mean(y.astype(jnp.float32))).astype(
+                    xs[0].dtype
+                )
+                return tuple(x + probe for x in xs)
+
+        class FullPose(nn.Module):
+            """Whole hrnet_w32 pose backbone (stem -> stages -> merge)."""
+
+            @nn.compact
+            def __call__(self, x):
+                y = HRNet(variant="pose", width=32, dtype=dtype,
+                          name="net")(x, False)
+                return x + jnp.mean(y.astype(jnp.float32)).astype(
+                    x.dtype
+                ) * 1e-12
+
+        xs_merge = tuple(
+            jnp.asarray(np.random.randn(B, s, s, c), dtype)
+            for s, c in [(56, 32), (28, 64), (14, 128), (7, 256)]
+        )
+        x_img32 = jnp.asarray(np.random.randn(B, 224, 224, 3), dtype)
         pare_regions = [
             ("pare head FULL (480ch in)", FullHead(), (x480,)),
+            ("pare head FULL lane_pad", FullHead(lane_pad=True), (x480,)),
             ("conv branches (2x2 convs)", ConvBranches(), (x480,)),
+            ("conv branches lane_pad 512", ConvBranchesLP(), (x480,)),
             ("finals + 2x kp attention", AttnFinals(), (x128, x128)),
             ("per-joint decoders", Decoders(), (plf0, csp0)),
+            ("w32 pose merge (ups+concat)", PoseMerge(), xs_merge),
+            ("w32 pose backbone FULL", FullPose(), (x_img32,)),
         ]
         for name, m, xs in pare_regions:
             v = m.init(rng, *xs)
