@@ -152,8 +152,15 @@ class PocoDataset:
 
         gender = data.get("gender")
         if gender is not None:
+            # m -> male, f -> female (the reference's two values,
+            # base_dataset.py:101-104); anything else (e.g. the
+            # synthetic sets' "n") -> -1 = neutral GT, NOT female.
             self.gender = np.array(
-                [0 if str(g) == "m" else 1 for g in gender], np.int32
+                [
+                    0 if str(g) == "m" else (1 if str(g) == "f" else -1)
+                    for g in gender
+                ],
+                np.int32,
             )
         else:
             self.gender = -1 * np.ones(n, np.int32)

@@ -79,6 +79,22 @@ class TestPocoDataset:
         assert item["has_smpl"] == 1.0
         assert 0 <= item["img"].min() and item["img"].max() <= 255.0
 
+    def test_gender_mapping(self, tiny_dataset):
+        """m -> 0, f -> 1, anything else (synthetic 'n') -> -1 neutral —
+        the eval runner treats -1 as neutral GT; 'n' must NOT map to
+        female (regression: gendered-GT selection on synthetic sets)."""
+        npz, root = tiny_dataset
+        ds = PocoDataset(npz, img_dir=root, is_train=False)
+        np.testing.assert_array_equal(ds.gender, [0, 1, 0, 1, 0, 1])
+        import numpy as _np
+
+        d = dict(_np.load(npz, allow_pickle=True))
+        d["gender"] = _np.array(["n"] * 6)
+        alt = npz.replace("ann.npz", "ann_n.npz")
+        _np.savez(alt, **d)
+        ds_n = PocoDataset(alt, img_dir=root, is_train=False)
+        np.testing.assert_array_equal(ds_n.gender, [-1] * 6)
+
     def test_eval_mode_no_augmentation(self, tiny_dataset):
         npz, root = tiny_dataset
         ds = PocoDataset(npz, img_dir=root, is_train=False)
