@@ -426,6 +426,9 @@ def get_model_path(logdir: str, inf_model: str = "best") -> str:
     candidates = {
         "best": os.path.join(logdir, "best_model"),
         "best_mpjpe_var": os.path.join(logdir, "best_model_mpjpe_var"),
+        # camera-calibrated snapshot (tools/camera_bringup.py)
+        "cam": os.path.join(logdir, "best_model_cam"),
+        "best_cam": os.path.join(logdir, "best_model_cam"),
         "last": os.path.join(logdir, "last"),
         "latest": os.path.join(logdir, "last"),  # demo.py help alias
     }

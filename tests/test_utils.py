@@ -226,6 +226,14 @@ class TestGetModelPath:
         got = get_model_path(str(tmp_path), "latest")
         assert got.endswith("epoch_3.ckpt") or got == str(best)
 
+    def test_cam_snapshot(self, tmp_path):
+        from poco_tpu.utils.checkpoint_convert import get_model_path
+
+        cam = tmp_path / "best_model_cam"
+        cam.mkdir()
+        assert get_model_path(str(tmp_path), "cam") == str(cam)
+        assert get_model_path(str(tmp_path), "best_cam") == str(cam)
+
 
 class TestToolsClis:
     def test_compute_error_cli(self, tmp_path):
