@@ -96,12 +96,13 @@ class PareHead(nn.Module):
     use_keypoint_features_for_smpl: bool = False
     mean_params_path: str | None = None
     # Lane-pad the branch conv0 input contraction (480 -> 512 for the
-    # shipped w32 concat map): the 480-channel contraction leaves a
-    # 96-lane remainder tile on the MXU (common.lane_pad_target). Exact
-    # math — padded input channels are zero — modulo float-add order, so
-    # None (default) mirrors HRNet.lane_pad: enabled for bf16 compute,
-    # canonical op order for fp32 (the parity/golden-gate dtype).
-    lane_pad: bool | None = None
+    # shipped w32 concat map). Exact math — padded input channels are
+    # zero — but MEASURED NET-NEGATIVE on the v5e (BENCHMARKS.md "PARE
+    # head attribution"): the branch convs are HBM-bandwidth-bound at
+    # ~255 GB/s, and padding moves ~47% more activation bytes for a
+    # 7.715 -> 8.067 ms full-head regression at bf16/128. Default off
+    # for every dtype; kept as an option for other chip generations.
+    lane_pad: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -246,11 +247,7 @@ class PareHead(nn.Module):
             )
 
         # --- dual conv branches (NHWC) ---
-        use_lp = (
-            self.lane_pad
-            if self.lane_pad is not None
-            else self.dtype == jnp.bfloat16
-        )
+        use_lp = self.lane_pad
         cin = features.shape[-1]
         branch_in = features
         logical_in = None

@@ -332,6 +332,45 @@ def main():
                 )
                 return tuple(x + probe for x in xs)
 
+        class MergeConvsOnly(nn.Module):
+            """The merge's conv+BN+ReLU chains fed pre-upsampled inputs
+            (isolates conv cost from resize cost)."""
+
+            @nn.compact
+            def __call__(self, *xs):
+                # xs shapes: the post-resize inputs of every conv in the
+                # three chains: b1 (56,64); b2 (28,128),(56,128);
+                # b3 (14,256),(28,256),(56,256)
+                outs = []
+                for i, z in enumerate(xs):
+                    z = conv(
+                        z.shape[-1], 3, 1, name=f"mc{i}", dtype=dtype
+                    )(z)
+                    z = batch_norm(False, name=f"mbn{i}", dtype=dtype)(z)
+                    outs.append(nn.relu(z))
+                probe = sum(
+                    1e-12 * jnp.mean(o.astype(jnp.float32)) for o in outs
+                )
+                return tuple(x + probe.astype(x.dtype) for x in xs)
+
+        class MergeResizesOnly(nn.Module):
+            """The merge's 6 bilinear x2 resizes alone (no convs)."""
+
+            @nn.compact
+            def __call__(self, *xs):
+                outs = []
+                for b in range(1, 4):
+                    z = xs[b]
+                    for _ in range(b):
+                        z = resize_bilinear_align_corners(
+                            z, z.shape[1] * 2, z.shape[2] * 2
+                        )
+                    outs.append(z)
+                probe = sum(
+                    1e-12 * jnp.mean(o.astype(jnp.float32)) for o in outs
+                )
+                return tuple(x + probe.astype(x.dtype) for x in xs)
+
         class FullPose(nn.Module):
             """Whole hrnet_w32 pose backbone (stem -> stages -> merge)."""
 
@@ -356,6 +395,19 @@ def main():
             ("finals + 2x kp attention", AttnFinals(), (x128, x128)),
             ("per-joint decoders", Decoders(), (plf0, csp0)),
             ("w32 pose merge (ups+concat)", PoseMerge(), xs_merge),
+            (
+                "merge convs only (6 convs)",
+                MergeConvsOnly(),
+                tuple(
+                    jnp.asarray(np.random.randn(B, s, s, c), dtype)
+                    for s, c in [
+                        (56, 64),
+                        (28, 128), (56, 128),
+                        (14, 256), (28, 256), (56, 256),
+                    ]
+                ),
+            ),
+            ("merge resizes only (6 ups)", MergeResizesOnly(), xs_merge),
             ("w32 pose backbone FULL", FullPose(), (x_img32,)),
         ]
         for name, m, xs in pare_regions:
