@@ -1,0 +1,177 @@
+"""Minimal HTTP inference server over an AOT artifact.
+
+Production-shaped serving entry for the exported model
+(poco_tpu/runtime/export.py): a threaded stdlib HTTP server whose
+/predict endpoint takes an npz request body and streams back an npz of
+model outputs. No web framework (nothing beyond the stdlib is baked into
+this environment), but the contract is real: warmup-on-start, static
+batch buckets, uint8 or pre-normalized float crops, health endpoint.
+
+Endpoints:
+    GET  /healthz   -> {"status": "ok", "buckets": [...], ...}
+    POST /predict   body: npz with the artifact's batch keys.
+                    `img` may be uint8 HWC crops (normalized here with
+                    the training constants) or float32 already-normalized.
+                    Missing conditioning keys are defaulted like
+                    make_dummy_batch. Response: npz of output arrays.
+
+The reference has no serving story at all — its closest analogue is
+re-running demo.py per request (/root/reference/demo.py:40-216).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..constants import IMG_NORM_MEAN, IMG_NORM_STD
+from .export import ExportedPoco, load_exported
+
+
+def prepare_request_batch(
+    model: ExportedPoco, arrays: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    """Fill and normalize a request into a model batch.
+
+    uint8 images are normalized with the training constants; absent
+    CLIFF conditioning keys get the make_dummy_batch defaults (full
+    crop, canonical focal length).
+    """
+    if "img" not in arrays:
+        raise KeyError("request must contain 'img'")
+    img = np.asarray(arrays["img"])
+    if img.ndim == 3:
+        img = img[None]
+    if img.ndim != 4 or img.shape[-1] != 3:
+        raise ValueError(f"img must be (N, H, W, 3), got {img.shape}")
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+        img = (img - np.asarray(IMG_NORM_MEAN, np.float32)) / np.asarray(
+            IMG_NORM_STD, np.float32
+        )
+    n = img.shape[0]
+    batch = {"img": img.astype(np.float32)}
+    defaults = {
+        "bbox_info": np.zeros((n, 3), np.float32),
+        "focal_length": np.full((n,), 1000.0, np.float32),
+        "scale": np.full((n,), 1.0, np.float32),
+        "center": np.full((n, 2), 500.0, np.float32),
+        "orig_shape": np.full((n, 2), 1000.0, np.float32),
+    }
+    for k in model.batch_keys:
+        if k == "img":
+            continue
+        if k in arrays:
+            batch[k] = np.asarray(arrays[k], np.float32)
+        elif k in defaults:
+            batch[k] = defaults[k]
+        else:
+            raise KeyError(f"request missing batch key '{k}'")
+    return batch
+
+
+def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()})
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "poco-tpu-serve/1.0"
+    model: ExportedPoco  # set on the server class
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client gave up mid-response; nothing to salvage
+
+    def _send_json(self, code: int, obj: dict) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            m = self.server.model  # type: ignore[attr-defined]
+            self._send_json(200, {
+                "status": "ok",
+                "buckets": m.batch_sizes,
+                "batch_keys": m.batch_keys,
+                "compact": m.meta.get("compact", False),
+                "model": m.meta["model_cfg"]["backbone"],
+            })
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            with np.load(io.BytesIO(body)) as z:
+                arrays = {k: z[k] for k in z.files}
+            model = self.server.model  # type: ignore[attr-defined]
+            with self.server.predict_lock:  # type: ignore[attr-defined]
+                out = model.predict(prepare_request_batch(model, arrays))
+            self._send(200, _npz_bytes(out), "application/octet-stream")
+        except (KeyError, ValueError) as e:
+            self._send_json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — serving must not die
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class PocoServer:
+    """Threaded HTTP server bound to an exported artifact.
+
+    `predict` calls are serialized with a lock: the device runs one
+    program at a time anyway, and bucketed padding keeps each call
+    fully batched — concurrency belongs in the batch, not in racing
+    dispatches.
+    """
+
+    def __init__(self, artifact: str | ExportedPoco,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.model = (
+            artifact if isinstance(artifact, ExportedPoco)
+            else load_exported(artifact)
+        )
+        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.httpd.model = self.model  # type: ignore[attr-defined]
+        self.httpd.predict_lock = threading.Lock()  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self, warmup: bool = True) -> "PocoServer":
+        if warmup:
+            self.model.warmup()
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self, warmup: bool = True) -> None:
+        if warmup:
+            self.model.warmup()
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self.httpd.server_close()

@@ -1,0 +1,184 @@
+"""AOT export + serving tests (runtime/export.py, runtime/server.py).
+
+Exports a tiny-backbone POCO to a tmpdir artifact, deserializes it, and
+asserts the exported program reproduces model.apply exactly; covers
+bucket padding/chunking and the HTTP serving roundtrip.
+"""
+
+import io
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from poco_tpu.models.poco import (
+    POCO,
+    PocoConfig,
+    init_poco,
+    make_dummy_batch,
+)
+from poco_tpu.runtime.export import export_poco, load_exported
+from poco_tpu.smpl.assets import synthetic_smpl_model
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = POCO(cfg=PocoConfig(
+        backbone="tiny-cliff", num_neurons=(64,), context_dim=64,
+    ))
+    smpl = synthetic_smpl_model(num_verts=96)
+    variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+    return model, smpl, variables
+
+
+@pytest.fixture(scope="module")
+def artifact(tiny_setup, tmp_path_factory):
+    model, smpl, variables = tiny_setup
+    out = str(tmp_path_factory.mktemp("exported") / "tiny_cliff")
+    export_poco(
+        model, variables, smpl, out,
+        batch_sizes=(2, 4), platforms=("cpu",),
+    )
+    return out
+
+
+class TestExportRoundtrip:
+    def test_meta_and_files(self, artifact):
+        with open(f"{artifact}/meta.json") as f:
+            meta = json.load(f)
+        assert meta["batch_sizes"] == [2, 4]
+        assert meta["model_cfg"]["backbone"] == "tiny-cliff"
+        assert "img" in meta["batch_keys"]
+        for b in (2, 4):
+            assert np.fromfile(
+                f"{artifact}/forward_b{b}.jexp", np.uint8
+            ).size > 0
+
+    def test_matches_model_apply(self, tiny_setup, artifact):
+        model, smpl, variables = tiny_setup
+        loaded = load_exported(artifact)
+        batch = make_dummy_batch(model.cfg, batch_size=2, include_gt=False)
+        batch_np = {k: np.asarray(v) for k, v in batch.items()}
+        rng = np.random.RandomState(0)
+        batch_np["img"] = rng.randn(2, 224, 224, 3).astype(np.float32)
+
+        got = loaded.predict(batch_np)
+        want = model.apply(
+            variables, {k: jax.numpy.asarray(v) for k, v in batch_np.items()},
+            smpl, train=False,
+        )
+        # Fusion decisions differ between the AOT-lowered program and the
+        # eager apply; agreement is ULP-level, not bitwise.
+        for k in ("smpl_vertices", "pred_pose", "pred_shape", "pred_cam",
+                  "var_pose"):
+            assert k in got, k
+            np.testing.assert_allclose(
+                got[k], np.asarray(want[k]), rtol=2e-6, atol=1e-6,
+                err_msg=k,
+            )
+
+    def test_padding_and_chunking(self, tiny_setup, artifact):
+        """n=3 pads into the 4-bucket; n=7 chunks 4+3; outputs must be
+        identical to per-sample prediction (padding rows never leak)."""
+        model, _, _ = tiny_setup
+        loaded = load_exported(artifact)
+        rng = np.random.RandomState(1)
+        n = 7
+        batch = {
+            k: np.asarray(v)
+            for k, v in make_dummy_batch(
+                model.cfg, batch_size=n, include_gt=False
+            ).items()
+        }
+        batch["img"] = rng.randn(n, 224, 224, 3).astype(np.float32)
+        out = loaded.predict(batch)
+        assert out["pred_pose"].shape[0] == n
+        two = loaded.predict({k: v[:2] for k, v in batch.items()})
+        np.testing.assert_allclose(
+            out["pred_pose"][:2], two["pred_pose"], atol=1e-5
+        )
+
+    def test_missing_key_raises(self, artifact):
+        loaded = load_exported(artifact)
+        with pytest.raises(KeyError):
+            loaded.predict({"img": np.zeros((1, 224, 224, 3), np.float32)})
+
+
+class TestServer:
+    def test_http_roundtrip(self, artifact):
+        from poco_tpu.runtime.server import PocoServer
+
+        server = PocoServer(artifact, port=0).start(warmup=False)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            health = json.loads(urllib.request.urlopen(
+                f"{base}/healthz", timeout=30).read())
+            assert health["status"] == "ok"
+            assert health["buckets"] == [2, 4]
+
+            crops = np.zeros((3, 224, 224, 3), np.uint8)
+            buf = io.BytesIO()
+            np.savez(buf, img=crops)
+            req = urllib.request.Request(
+                f"{base}/predict", data=buf.getvalue(), method="POST"
+            )
+            out = np.load(io.BytesIO(
+                urllib.request.urlopen(req, timeout=120).read()))
+            assert out["pred_pose"].shape == (3, 24, 3, 3)
+            assert out["smpl_vertices"].shape[0] == 3
+
+            bad = urllib.request.Request(
+                f"{base}/predict", data=b"not-npz", method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(bad, timeout=30)
+            assert e.value.code == 400  # malformed npz -> client error
+        finally:
+            server.stop()
+
+    def test_export_cli_smoke(self, tmp_path, monkeypatch):
+        """tools/export_model.py wiring: tiny config, random weights."""
+        import runpy
+        import sys
+
+        repo = __import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        )
+        out = str(tmp_path / "artifact")
+        monkeypatch.setattr(sys, "argv", [
+            "tools/export_model.py",
+            "--cfg", "configs/tiny_smoke.yaml",
+            "--out", out,
+            "--batch-sizes", "2",
+            "--dtype", "fp32",
+            "--platforms", "cpu",
+            "--smpl_dir", str(tmp_path / "no_smpl"),
+        ])
+        monkeypatch.chdir(repo)
+        runpy.run_path(f"{repo}/tools/export_model.py", run_name="__main__")
+        loaded = load_exported(out)
+        out_arr = loaded.predict(
+            {"img": np.zeros((2, 224, 224, 3), np.float32),
+             "bbox_info": np.zeros((2, 3), np.float32),
+             "focal_length": np.full((2,), 1000.0, np.float32),
+             "scale": np.ones((2,), np.float32),
+             "center": np.full((2, 2), 500.0, np.float32),
+             "orig_shape": np.full((2, 2), 1000.0, np.float32)}
+        )
+        # synthetic fallback SMPL (no assets in CI): small vertex count
+        assert out_arr["smpl_vertices"].shape[0] == 2
+        assert out_arr["smpl_vertices"].shape[-1] == 3
+        assert out_arr["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_prepare_request_normalizes_uint8(self, artifact):
+        from poco_tpu.constants import IMG_NORM_MEAN, IMG_NORM_STD
+        from poco_tpu.runtime.server import prepare_request_batch
+
+        loaded = load_exported(artifact)
+        img = np.full((1, 224, 224, 3), 255, np.uint8)
+        batch = prepare_request_batch(loaded, {"img": img})
+        want = (1.0 - np.asarray(IMG_NORM_MEAN)) / np.asarray(IMG_NORM_STD)
+        np.testing.assert_allclose(batch["img"][0, 0, 0], want, atol=1e-6)
+        assert batch["focal_length"].shape == (1,)

@@ -1,0 +1,48 @@
+"""Serve an exported POCO artifact over HTTP.
+
+    python tools/export_model.py --cfg ... --ckpt ... --out exported/cliff
+    python tools/serve_model.py --artifact exported/cliff --port 8000
+
+    # client:
+    curl -s localhost:8000/healthz
+    python - <<'EOF'
+    import io, urllib.request, numpy as np
+    crops = np.zeros((3, 224, 224, 3), np.uint8)   # HWC uint8 crops
+    buf = io.BytesIO(); np.savez(buf, img=crops)
+    req = urllib.request.Request("http://localhost:8000/predict",
+                                 data=buf.getvalue(), method="POST")
+    out = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+    print({k: out[k].shape for k in out.files})
+    EOF
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    from poco_tpu.runtime.server import PocoServer
+
+    server = PocoServer(args.artifact, host=args.host, port=args.port)
+    print(f"serving {args.artifact} on {args.host}:{server.port} "
+          f"(buckets {server.model.batch_sizes})")
+    try:
+        server.serve_forever(warmup=not args.no_warmup)
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
