@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -74,6 +76,92 @@ def prepare_request_batch(
     return batch
 
 
+class MicroBatcher:
+    """Coalesce concurrent requests into one device batch.
+
+    The TPU's scaling axis is batch (SURVEY §5.7): N concurrent 1-crop
+    requests should cost one padded dispatch, not N. A single worker
+    thread takes the oldest pending request, keeps draining the queue
+    until the largest bucket is full or `window_ms` elapses, runs ONE
+    `predict` on the concatenated batch, and scatters the row ranges
+    back to the waiting handler threads. Per-sample outputs are
+    batchmate-independent (inference-mode BN uses running stats), so
+    batching is invisible to clients.
+    """
+
+    def __init__(self, model: ExportedPoco, window_ms: float = 5.0):
+        self.model = model
+        self.window = window_ms / 1000.0
+        self.max_rows = model.batch_sizes[-1]
+        self._queue: queue.Queue = queue.Queue()
+        self.request_count = 0
+        self.dispatch_count = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, batch: dict[str, np.ndarray],
+               timeout: float = 600.0) -> dict[str, np.ndarray]:
+        n = int(np.shape(batch[next(iter(batch))])[0])
+        item = {"batch": batch, "n": n,
+                "event": threading.Event(), "out": None, "err": None}
+        self.request_count += 1
+        self._queue.put(item)
+        if not item["event"].wait(timeout=timeout):
+            raise TimeoutError("prediction timed out")
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            rows = first["n"]
+            deadline = time.monotonic() + self.window
+            while rows < self.max_rows:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                items.append(nxt)
+                rows += nxt["n"]
+            try:
+                if len(items) == 1:
+                    merged = first["batch"]
+                else:
+                    merged = {
+                        k: np.concatenate(
+                            [np.asarray(it["batch"][k]) for it in items],
+                            axis=0,
+                        )
+                        for k in first["batch"]
+                    }
+                self.dispatch_count += 1
+                out = self.model.predict(merged)
+                offset = 0
+                for it in items:
+                    it["out"] = {
+                        k: v[offset : offset + it["n"]] for k, v in out.items()
+                    }
+                    offset += it["n"]
+            except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
+                for it in items:
+                    it["err"] = e
+            for it in items:
+                it["event"].set()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+
 def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
     buf = io.BytesIO()
     np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()})
@@ -103,12 +191,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             m = self.server.model  # type: ignore[attr-defined]
+            b = self.server.batcher  # type: ignore[attr-defined]
             self._send_json(200, {
                 "status": "ok",
                 "buckets": m.batch_sizes,
                 "batch_keys": m.batch_keys,
                 "compact": m.meta.get("compact", False),
                 "model": m.meta["model_cfg"]["backbone"],
+                "requests": b.request_count,
+                "dispatches": b.dispatch_count,
             })
         else:
             self._send_json(404, {"error": f"no route {self.path}"})
@@ -123,8 +214,9 @@ class _Handler(BaseHTTPRequestHandler):
             with np.load(io.BytesIO(body)) as z:
                 arrays = {k: z[k] for k in z.files}
             model = self.server.model  # type: ignore[attr-defined]
-            with self.server.predict_lock:  # type: ignore[attr-defined]
-                out = model.predict(prepare_request_batch(model, arrays))
+            out = self.server.batcher.submit(  # type: ignore[attr-defined]
+                prepare_request_batch(model, arrays)
+            )
             self._send(200, _npz_bytes(out), "application/octet-stream")
         except (KeyError, ValueError) as e:
             self._send_json(400, {"error": str(e)})
@@ -135,21 +227,23 @@ class _Handler(BaseHTTPRequestHandler):
 class PocoServer:
     """Threaded HTTP server bound to an exported artifact.
 
-    `predict` calls are serialized with a lock: the device runs one
-    program at a time anyway, and bucketed padding keeps each call
-    fully batched — concurrency belongs in the batch, not in racing
-    dispatches.
+    Device work is funneled through a MicroBatcher: the device runs
+    one program at a time anyway, so concurrency belongs in the batch
+    (concurrent requests coalesce into one padded dispatch), not in
+    racing dispatches.
     """
 
     def __init__(self, artifact: str | ExportedPoco,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 batch_window_ms: float = 5.0):
         self.model = (
             artifact if isinstance(artifact, ExportedPoco)
             else load_exported(artifact)
         )
+        self.batcher = MicroBatcher(self.model, window_ms=batch_window_ms)
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.model = self.model  # type: ignore[attr-defined]
-        self.httpd.predict_lock = threading.Lock()  # type: ignore[attr-defined]
+        self.httpd.batcher = self.batcher  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property
@@ -175,3 +269,4 @@ class PocoServer:
         if self._thread is not None:
             self._thread.join(timeout=10)
         self.httpd.server_close()
+        self.batcher.stop()

@@ -172,6 +172,112 @@ class TestServer:
         assert out_arr["smpl_vertices"].shape[-1] == 3
         assert out_arr["pred_pose"].shape == (2, 24, 3, 3)
 
+    def test_micro_batcher_coalesces_and_scatters(self):
+        """Concurrent submits merge into few dispatches; each caller
+        gets exactly its own rows back."""
+        import threading
+
+        from poco_tpu.runtime.server import MicroBatcher
+
+        class FakeModel:
+            batch_sizes = [8]
+
+            def __init__(self):
+                self.calls = []
+
+            def predict(self, batch):
+                self.calls.append(int(batch["x"].shape[0]))
+                return {"y": np.asarray(batch["x"]) * 2.0}
+
+        fake = FakeModel()
+        mb = MicroBatcher(fake, window_ms=1000.0)
+        try:
+            results = {}
+
+            def worker(i):
+                x = np.full((1, 3), float(i), np.float32)
+                results[i] = mb.submit({"x": x})
+
+            threads = [
+                threading.Thread(target=worker, args=(i,)) for i in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            for i in range(4):
+                np.testing.assert_allclose(
+                    results[i]["y"], np.full((1, 3), 2.0 * i)
+                )
+            assert mb.request_count == 4
+            # 4 near-simultaneous 1-row submits inside a 1 s window must
+            # not take 4 dispatches.
+            assert mb.dispatch_count < 4, fake.calls
+        finally:
+            mb.stop()
+
+    def test_micro_batcher_propagates_errors(self):
+        from poco_tpu.runtime.server import MicroBatcher
+
+        class Boom:
+            batch_sizes = [4]
+
+            def predict(self, batch):
+                raise RuntimeError("device on fire")
+
+        mb = MicroBatcher(Boom(), window_ms=1.0)
+        try:
+            with pytest.raises(RuntimeError, match="device on fire"):
+                mb.submit({"x": np.zeros((1, 2), np.float32)})
+        finally:
+            mb.stop()
+
+    def test_concurrent_http_requests_are_isolated(self, artifact):
+        """Distinct concurrent requests return their own predictions
+        (batching must be invisible to clients)."""
+        import threading
+
+        from poco_tpu.runtime.server import PocoServer
+
+        server = PocoServer(artifact, port=0, batch_window_ms=50.0)
+        server.start(warmup=False)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            loaded = server.model
+            rng = np.random.RandomState(7)
+            imgs = rng.randn(4, 1, 224, 224, 3).astype(np.float32)
+
+            def fetch(i, out):
+                buf = io.BytesIO()
+                np.savez(buf, img=imgs[i])
+                req = urllib.request.Request(
+                    f"{base}/predict", data=buf.getvalue(), method="POST"
+                )
+                out[i] = np.load(io.BytesIO(
+                    urllib.request.urlopen(req, timeout=120).read()))
+
+            got = {}
+            threads = [
+                threading.Thread(target=fetch, args=(i, got))
+                for i in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+
+            from poco_tpu.runtime.server import prepare_request_batch
+
+            for i in range(4):
+                want = loaded.predict(
+                    prepare_request_batch(loaded, {"img": imgs[i]})
+                )
+                np.testing.assert_allclose(
+                    got[i]["pred_pose"], want["pred_pose"], atol=1e-5
+                )
+        finally:
+            server.stop()
+
     def test_prepare_request_normalizes_uint8(self, artifact):
         from poco_tpu.constants import IMG_NORM_MEAN, IMG_NORM_STD
         from poco_tpu.runtime.server import prepare_request_batch
