@@ -109,6 +109,7 @@ def export_poco(
     batch_sizes: tuple[int, ...] = (1, 32),
     platforms: tuple[str, ...] = ("cpu", "tpu"),
     compact: bool = False,
+    data_parallel: int | None = None,
 ) -> str:
     """Export `model.apply` inference to an AOT artifact directory.
 
@@ -119,8 +120,14 @@ def export_poco(
         out_dir: artifact directory (created).
         batch_sizes: static batch buckets, one exported program each.
         platforms: lowering platforms (default cpu+tpu: export anywhere,
-            serve on TPU).
+            serve on TPU). Ignored for data-parallel exports, which are
+            lowered on the target topology's own platform.
         compact: cast vertex/joint outputs to fp16 on device.
+        data_parallel: shard each batch over this many devices (SPMD
+            over a 1-D mesh, weights replicated, XLA partitioning baked
+            into the artifact — one dispatch drives the whole slice).
+            Requires the devices at export time AND at load time; every
+            batch bucket must be divisible by it.
 
     Returns out_dir.
     """
@@ -164,15 +171,50 @@ def export_poco(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), smpl_arrays
     )
 
+    if data_parallel:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < data_parallel:
+            raise ValueError(
+                f"data_parallel={data_parallel} but only {len(devs)} "
+                "devices visible"
+            )
+        bad = [b for b in batch_sizes if b % data_parallel]
+        if bad:
+            raise ValueError(
+                f"batch buckets {bad} not divisible by "
+                f"data_parallel={data_parallel}"
+            )
+        mesh = Mesh(np.asarray(devs[:data_parallel]), ("data",))
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = NamedSharding(mesh, P("data"))
+        jit_forward = jax.jit(
+            forward,
+            in_shardings=(
+                jax.tree.map(lambda _: replicated, var_spec),
+                jax.tree.map(lambda _: replicated, smpl_spec),
+                batch_sharded,
+            ),
+            out_shardings=batch_sharded,
+        )
+        # Sharded programs carry a concrete device assignment; lowering
+        # is for the local topology's platform only.
+        export_kwargs: dict[str, Any] = {}
+        platforms = (jax.default_backend(),)
+    else:
+        jit_forward = jax.jit(forward)
+        export_kwargs = {"platforms": list(platforms)}
+
     output_keys: list[str] = []
     for b in batch_sizes:
         batch = make_dummy_batch(model.cfg, batch_size=b, include_gt=False)
         batch_spec = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
         )
-        exp = jax.export.export(
-            jax.jit(forward), platforms=list(platforms)
-        )(var_spec, smpl_spec, batch_spec)
+        exp = jax.export.export(jit_forward, **export_kwargs)(
+            var_spec, smpl_spec, batch_spec
+        )
         with open(osp.join(out_dir, f"forward_b{b}.jexp"), "wb") as f:
             f.write(exp.serialize())
         if not output_keys:
@@ -192,6 +234,7 @@ def export_poco(
         "batch_sizes": list(batch_sizes),
         "platforms": list(platforms),
         "compact": bool(compact),
+        "data_parallel": int(data_parallel) if data_parallel else None,
         "batch_keys": sorted(
             make_dummy_batch(model.cfg, 1, include_gt=False).keys()
         ),
@@ -243,6 +286,13 @@ class ExportedPoco:
         the batch (per-call numpy trees would re-upload ~all model bytes
         over the host<->device link on every request)."""
         if not self._resident:
+            if self.meta.get("data_parallel"):
+                # Sharded programs carry their own device assignment;
+                # a plain device_put would commit everything to device 0
+                # and fight the baked-in replication. Leave the trees
+                # uncommitted — the program shards them on first use.
+                self._resident = True
+                return
             self.variables = jax.device_put(self.variables)
             self.smpl_arrays = jax.device_put(self.smpl_arrays)
             self._resident = True
@@ -252,7 +302,26 @@ class ExportedPoco:
         if fn is None:
             with open(osp.join(self.path, f"forward_b{bucket}.jexp"), "rb") as f:
                 exp = jax.export.deserialize(f.read())
-            fn = jax.jit(exp.call)
+            dp = self.meta.get("data_parallel")
+            if dp:
+                # A sharded export must be invoked under a mesh of the
+                # same size; map its baked shardings onto the local
+                # devices (they need not be the export-time devices).
+                from jax.sharding import Mesh
+
+                devs = jax.devices()
+                if len(devs) < dp:
+                    raise ValueError(
+                        f"artifact needs {dp} devices, host has {len(devs)}"
+                    )
+                mesh = Mesh(np.asarray(devs[:dp]), ("data",))
+                fn = jax.jit(
+                    exp.call,
+                    in_shardings=exp.in_shardings_jax(mesh),
+                    out_shardings=exp.out_shardings_jax(mesh),
+                )
+            else:
+                fn = jax.jit(exp.call)
             self._calls[bucket] = fn
         return fn
 

@@ -100,6 +100,47 @@ class TestExportRoundtrip:
             out["pred_pose"][:2], two["pred_pose"], atol=1e-5
         )
 
+    def test_data_parallel_export_matches_single_device(
+        self, tiny_setup, artifact, tmp_path
+    ):
+        """An artifact exported with 8-way batch sharding (SPMD over the
+        virtual CPU mesh) reproduces the single-device artifact."""
+        model, smpl, variables = tiny_setup
+        assert len(jax.devices()) >= 8, "conftest forces an 8-device mesh"
+        dp_dir = str(tmp_path / "tiny_dp8")
+        export_poco(
+            model, variables, smpl, dp_dir,
+            batch_sizes=(8,), data_parallel=8,
+        )
+        dp = load_exported(dp_dir)
+        assert dp.meta["data_parallel"] == 8
+
+        single = load_exported(artifact)
+        rng = np.random.RandomState(3)
+        batch = {
+            k: np.asarray(v)
+            for k, v in make_dummy_batch(
+                model.cfg, batch_size=8, include_gt=False
+            ).items()
+        }
+        batch["img"] = rng.randn(8, 224, 224, 3).astype(np.float32)
+        got = dp.predict(batch)
+        want = single.predict(batch)
+        np.testing.assert_allclose(
+            got["pred_pose"], want["pred_pose"], rtol=2e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            got["smpl_vertices"], want["smpl_vertices"], atol=1e-5
+        )
+
+    def test_data_parallel_rejects_indivisible_bucket(self, tiny_setup, tmp_path):
+        model, smpl, variables = tiny_setup
+        with pytest.raises(ValueError, match="not divisible"):
+            export_poco(
+                model, variables, smpl, str(tmp_path / "bad"),
+                batch_sizes=(6,), data_parallel=8,
+            )
+
     def test_missing_key_raises(self, artifact):
         loaded = load_exported(artifact)
         with pytest.raises(KeyError):
