@@ -51,16 +51,36 @@ _HEAVY_KEYS = ("smpl_vertices", "smpl_joints3d", "smpl_joints2d")
 # flat <-> nested variable trees (npz-safe, bf16-safe)
 
 def _flatten_tree(tree: dict, sep: str = "/") -> dict[str, np.ndarray]:
-    from flax import traverse_util
+    """Nested dict -> {'a/b/c': array}. Plain Python (no flax) so the
+    load side stays jax+numpy only; separator collisions are rejected
+    at export time rather than silently corrupting the key space."""
+    flat: dict[str, np.ndarray] = {}
 
-    flat = traverse_util.flatten_dict(_plain_dict(tree), sep=sep)
-    return {k: np.asarray(v) for k, v in flat.items()}
+    def rec(prefix: tuple[str, ...], node: Any) -> None:
+        if hasattr(node, "items"):
+            for k, v in node.items():
+                k = str(k)
+                if sep in k:
+                    raise ValueError(
+                        f"parameter name {k!r} contains separator {sep!r}"
+                    )
+                rec(prefix + (k,), v)
+        else:
+            flat[sep.join(prefix)] = np.asarray(node)
+
+    rec((), tree)
+    return flat
 
 
 def _unflatten_tree(flat: dict[str, np.ndarray], sep: str = "/") -> dict:
-    from flax import traverse_util
-
-    return traverse_util.unflatten_dict(dict(flat), sep=sep)
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
 
 
 def _plain_dict(tree: Any) -> Any:
@@ -223,7 +243,7 @@ def export_poco(
 
     flat_vars = _flatten_tree(variables)
     retyped = _save_npz(osp.join(out_dir, VARIABLES_NAME), flat_vars)
-    _save_npz(osp.join(out_dir, SMPL_NAME), smpl_arrays)
+    smpl_retyped = _save_npz(osp.join(out_dir, SMPL_NAME), smpl_arrays)
 
     cfg = asdict(model.cfg)
     cfg = {k: (list(v) if isinstance(v, tuple) else v) for k, v in cfg.items()}
@@ -240,6 +260,7 @@ def export_poco(
         ),
         "output_keys": output_keys,
         "variables_bf16_keys": retyped,
+        "smpl_bf16_keys": smpl_retyped,
         "smpl_static": {
             "parents": list(parents),
             "vertex_joint_ids": list(vertex_joint_ids),
@@ -277,9 +298,30 @@ class ExportedPoco:
             self.meta.get("variables_bf16_keys", {}),
         )
         self.variables = _unflatten_tree(flat_vars)
-        self.smpl_arrays = dict(_load_npz(osp.join(path, SMPL_NAME), {}))
+        self.smpl_arrays = dict(_load_npz(
+            osp.join(path, SMPL_NAME), self.meta.get("smpl_bf16_keys", {})
+        ))
         self._calls: dict[int, Any] = {}
         self._resident = False
+        self._mesh_cache = None
+
+    def _mesh(self):
+        """1-D 'data' mesh over the first data_parallel local devices.
+
+        A sharded export must run under a mesh of the export-time size;
+        the concrete devices need not match (`in_shardings_jax` re-maps
+        the baked HloShardings onto this mesh)."""
+        if self._mesh_cache is None:
+            from jax.sharding import Mesh
+
+            dp = int(self.meta["data_parallel"])
+            devs = jax.devices()
+            if len(devs) < dp:
+                raise ValueError(
+                    f"artifact needs {dp} devices, host has {len(devs)}"
+                )
+            self._mesh_cache = Mesh(np.asarray(devs[:dp]), ("data",))
+        return self._mesh_cache
 
     def _ensure_resident(self) -> None:
         """Move weights + SMPL to device once; requests then ship only
@@ -287,14 +329,17 @@ class ExportedPoco:
         over the host<->device link on every request)."""
         if not self._resident:
             if self.meta.get("data_parallel"):
-                # Sharded programs carry their own device assignment;
-                # a plain device_put would commit everything to device 0
-                # and fight the baked-in replication. Leave the trees
-                # uncommitted — the program shards them on first use.
-                self._resident = True
-                return
-            self.variables = jax.device_put(self.variables)
-            self.smpl_arrays = jax.device_put(self.smpl_arrays)
+                # Replicate weights over the artifact's mesh once; a
+                # bare device_put would commit them to device 0 and
+                # fight the program's baked-in replication.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self._mesh(), P())
+                self.variables = jax.device_put(self.variables, repl)
+                self.smpl_arrays = jax.device_put(self.smpl_arrays, repl)
+            else:
+                self.variables = jax.device_put(self.variables)
+                self.smpl_arrays = jax.device_put(self.smpl_arrays)
             self._resident = True
 
     def _call_for(self, bucket: int):
@@ -302,23 +347,21 @@ class ExportedPoco:
         if fn is None:
             with open(osp.join(self.path, f"forward_b{bucket}.jexp"), "rb") as f:
                 exp = jax.export.deserialize(f.read())
-            dp = self.meta.get("data_parallel")
-            if dp:
-                # A sharded export must be invoked under a mesh of the
-                # same size; map its baked shardings onto the local
-                # devices (they need not be the export-time devices).
-                from jax.sharding import Mesh
-
-                devs = jax.devices()
-                if len(devs) < dp:
-                    raise ValueError(
-                        f"artifact needs {dp} devices, host has {len(devs)}"
-                    )
-                mesh = Mesh(np.asarray(devs[:dp]), ("data",))
+            if self.meta.get("data_parallel"):
+                # exp.*_shardings_jax return FLAT tuples aligned with the
+                # flattened avals; jit wants them shaped like the call's
+                # (args, kwargs) / outputs pytrees — unflatten via the
+                # treedefs the export recorded.
+                mesh = self._mesh()
+                args_sh, kwargs_sh = jax.tree.unflatten(
+                    exp.in_tree, list(exp.in_shardings_jax(mesh))
+                )
+                assert not kwargs_sh, "exported forward takes no kwargs"
+                out_sh = jax.tree.unflatten(
+                    exp.out_tree, list(exp.out_shardings_jax(mesh))
+                )
                 fn = jax.jit(
-                    exp.call,
-                    in_shardings=exp.in_shardings_jax(mesh),
-                    out_shardings=exp.out_shardings_jax(mesh),
+                    exp.call, in_shardings=args_sh, out_shardings=out_sh
                 )
             else:
                 fn = jax.jit(exp.call)

@@ -42,6 +42,10 @@ def prepare_request_batch(
     uint8 images are normalized with the training constants; absent
     CLIFF conditioning keys get the make_dummy_batch defaults (full
     crop, canonical focal length).
+
+    Validation is strict: a malformed request coalesced into a shared
+    micro-batch would otherwise fail its batchmates with a 500; shape
+    errors must be caught here so the offender alone gets a 400.
     """
     if "img" not in arrays:
         raise KeyError("request must contain 'img'")
@@ -50,6 +54,11 @@ def prepare_request_batch(
         img = img[None]
     if img.ndim != 4 or img.shape[-1] != 3:
         raise ValueError(f"img must be (N, H, W, 3), got {img.shape}")
+    res = int(model.meta["model_cfg"]["img_res"])
+    if img.shape[1:3] != (res, res):
+        raise ValueError(
+            f"img must be {res}x{res} crops, got {img.shape[1]}x{img.shape[2]}"
+        )
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
         img = (img - np.asarray(IMG_NORM_MEAN, np.float32)) / np.asarray(
@@ -68,7 +77,14 @@ def prepare_request_batch(
         if k == "img":
             continue
         if k in arrays:
-            batch[k] = np.asarray(arrays[k], np.float32)
+            v = np.asarray(arrays[k], np.float32)
+            want = defaults.get(k)
+            if want is not None and v.shape != want.shape:
+                raise ValueError(
+                    f"'{k}' must have shape {want.shape} for a {n}-crop "
+                    f"request, got {v.shape}"
+                )
+            batch[k] = v
         elif k in defaults:
             batch[k] = defaults[k]
         else:

@@ -1,9 +1,10 @@
 """Temporal pose smoothing: OneEuro over rotation matrices + SMPL re-run.
 
-Reference contract: pocolib/utils/smooth_pose.py:25-71. The sequential
-OneEuro filter stays host-side (it is inherently recurrent and tiny), but
-the SMPL re-evaluation of the smoothed track runs as ONE batched jitted
-LBS over all frames instead of the reference's per-frame torch calls.
+Reference contract: pocolib/utils/smooth_pose.py:25-71. The OneEuro pass
+filters the whole (T, 24, 3, 3) track with all channels vectorized per
+frame (host-side — the recurrence is over T and tiny), then the SMPL
+re-evaluation of the smoothed track runs as ONE batched jitted LBS over
+all frames instead of the reference's per-frame torch calls.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ import numpy as np
 
 from ..smpl.lbs import SmplParams
 from ..smpl.model import smpl_49
-from .one_euro import OneEuroFilter
+from .one_euro import one_euro_track
 
 
 def smooth_pose(
@@ -31,17 +32,9 @@ def smooth_pose(
     Returns:
         (verts (T, V, 3), pose_hat (T, 24, 3, 3), joints3d (T, 49, 3)).
     """
-    pred_pose = np.asarray(pred_pose)
-    filt = OneEuroFilter(
-        np.zeros_like(pred_pose[0]), pred_pose[0],
-        min_cutoff=min_cutoff, beta=beta,
+    pose_hat = one_euro_track(
+        np.asarray(pred_pose), min_cutoff=min_cutoff, beta=beta
     )
-    pose_hat = np.zeros_like(pred_pose)
-    pose_hat[0] = pred_pose[0]
-    for idx in range(1, len(pred_pose)):
-        t = np.ones_like(pred_pose[idx]) * idx
-        pose_hat[idx] = filt(t, pred_pose[idx])
-
     verts, joints3d = smpl_49(
         smpl, jnp.asarray(pred_betas), jnp.asarray(pose_hat)
     )

@@ -140,6 +140,21 @@ class TestSmoothing:
         smoothed = np.asarray(smoothed)
         assert np.std(np.diff(smoothed)) < np.std(np.diff(noisy))
 
+    def test_one_euro_track_matches_streaming(self):
+        """Whole-track API == streaming wrapper, all channels at once."""
+        from poco_tpu.utils.one_euro import one_euro_track
+
+        rng = np.random.RandomState(2)
+        xs = rng.randn(50, 4, 3).astype(np.float32)
+        track = one_euro_track(xs, min_cutoff=0.3, beta=0.5)
+        f = OneEuroFilter(0.0, xs[0], min_cutoff=0.3, beta=0.5)
+        stream = np.stack(
+            [xs[0].astype(np.float64)]
+            + [f(float(i), xs[i]) for i in range(1, 50)]
+        )
+        np.testing.assert_allclose(track, stream.astype(np.float32), atol=1e-6)
+        assert track.dtype == xs.dtype
+
     def test_bbox_params_interpolate_gaps(self):
         kp = np.zeros((13, 3))
         kp[:, 2] = 1.0

@@ -179,26 +179,29 @@ class TestServer:
         finally:
             server.stop()
 
-    def test_export_cli_smoke(self, tmp_path, monkeypatch):
-        """tools/export_model.py wiring: tiny config, random weights."""
-        import runpy
+    def test_export_cli_smoke(self, tmp_path):
+        """tools/export_model.py wiring: tiny config, random weights.
+
+        Runs in a subprocess: the CLI mutates jax_platforms at import
+        time, which must not leak into this pytest process (it would
+        silently move every later test onto CPU on a TPU host)."""
+        import os
+        import subprocess
         import sys
 
-        repo = __import__("os").path.dirname(
-            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
-        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         out = str(tmp_path / "artifact")
-        monkeypatch.setattr(sys, "argv", [
-            "tools/export_model.py",
-            "--cfg", "configs/tiny_smoke.yaml",
-            "--out", out,
-            "--batch-sizes", "2",
-            "--dtype", "fp32",
-            "--platforms", "cpu",
-            "--smpl_dir", str(tmp_path / "no_smpl"),
-        ])
-        monkeypatch.chdir(repo)
-        runpy.run_path(f"{repo}/tools/export_model.py", run_name="__main__")
+        proc = subprocess.run(
+            [sys.executable, "tools/export_model.py",
+             "--cfg", "configs/tiny_smoke.yaml",
+             "--out", out,
+             "--batch-sizes", "2",
+             "--dtype", "fp32",
+             "--platforms", "cpu",
+             "--smpl_dir", str(tmp_path / "no_smpl")],
+            cwd=repo, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
         loaded = load_exported(out)
         out_arr = loaded.predict(
             {"img": np.zeros((2, 224, 224, 3), np.float32),
@@ -212,6 +215,63 @@ class TestServer:
         assert out_arr["smpl_vertices"].shape[0] == 2
         assert out_arr["smpl_vertices"].shape[-1] == 3
         assert out_arr["pred_pose"].shape == (2, 24, 3, 3)
+
+    def test_export_cli_data_parallel(self, tmp_path):
+        """--data_parallel N from the CLI: the subprocess must split its
+        CPU host into N virtual devices itself and produce a loadable
+        SPMD artifact."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = str(tmp_path / "artifact_dp4")
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, "tools/export_model.py",
+             "--cfg", "configs/tiny_smoke.yaml",
+             "--out", out,
+             "--batch-sizes", "4",
+             "--dtype", "fp32",
+             "--data_parallel", "4",
+             "--smpl_dir", str(tmp_path / "no_smpl")],
+            cwd=repo, capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        loaded = load_exported(out)
+        assert loaded.meta["data_parallel"] == 4
+        got = loaded.predict(
+            {"img": np.zeros((4, 224, 224, 3), np.float32),
+             "bbox_info": np.zeros((4, 3), np.float32),
+             "focal_length": np.full((4,), 1000.0, np.float32),
+             "scale": np.ones((4,), np.float32),
+             "center": np.full((4, 2), 500.0, np.float32),
+             "orig_shape": np.full((4, 2), 1000.0, np.float32)}
+        )
+        assert got["pred_pose"].shape == (4, 24, 3, 3)
+
+    def test_export_cli_defaults_resolve(self):
+        """The CLI's default arguments must point at files that exist
+        and parse — round 3 shipped a default --cfg naming the
+        *reference's* config file, so `--out X` alone crashed."""
+        import os
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        try:
+            from export_model import build_parser
+        finally:
+            sys.path.pop(0)
+        args = build_parser().parse_args(["--out", "/tmp/unused"])
+        cfg_path = os.path.join(repo, args.cfg)
+        assert os.path.exists(cfg_path), f"default --cfg missing: {args.cfg}"
+
+        from poco_tpu.config import model_config_from_hparams, update_hparams
+
+        model_cfg = model_config_from_hparams(update_hparams(cfg_path))
+        assert model_cfg.backbone  # parsed into a real model config
 
     def test_micro_batcher_coalesces_and_scatters(self):
         """Concurrent submits merge into few dispatches; each caller
@@ -318,6 +378,60 @@ class TestServer:
                 )
         finally:
             server.stop()
+
+    def test_http_roundtrip_data_parallel(self, tiny_setup, artifact, tmp_path):
+        """Serving over an 8-way SPMD artifact on the virtual mesh:
+        the HTTP layer must be sharding-agnostic and the dp artifact
+        must reproduce the single-device one through the full stack."""
+        from poco_tpu.runtime.server import PocoServer
+
+        model, smpl, variables = tiny_setup
+        dp_dir = str(tmp_path / "tiny_dp8_http")
+        export_poco(
+            model, variables, smpl, dp_dir,
+            batch_sizes=(8,), data_parallel=8,
+        )
+        server = PocoServer(dp_dir, port=0).start(warmup=False)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            rng = np.random.RandomState(11)
+            crops = rng.randn(3, 224, 224, 3).astype(np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, img=crops)
+            req = urllib.request.Request(
+                f"{base}/predict", data=buf.getvalue(), method="POST"
+            )
+            out = np.load(io.BytesIO(
+                urllib.request.urlopen(req, timeout=300).read()))
+            assert out["pred_pose"].shape == (3, 24, 3, 3)
+
+            from poco_tpu.runtime.server import prepare_request_batch
+
+            single = load_exported(artifact)
+            want = single.predict(
+                prepare_request_batch(single, {"img": crops})
+            )
+            np.testing.assert_allclose(
+                out["pred_pose"], want["pred_pose"], rtol=2e-5, atol=1e-5
+            )
+        finally:
+            server.stop()
+
+    def test_request_validation_rejects_bad_shapes(self, artifact):
+        """Malformed requests must fail in prepare_request_batch (-> 400
+        to the offender) rather than poisoning a shared micro-batch."""
+        from poco_tpu.runtime.server import prepare_request_batch
+
+        loaded = load_exported(artifact)
+        with pytest.raises(ValueError, match="224x224"):
+            prepare_request_batch(
+                loaded, {"img": np.zeros((1, 128, 128, 3), np.float32)}
+            )
+        with pytest.raises(ValueError, match="bbox_info"):
+            prepare_request_batch(loaded, {
+                "img": np.zeros((2, 224, 224, 3), np.float32),
+                "bbox_info": np.zeros((1, 3), np.float32),  # wrong leading dim
+            })
 
     def test_prepare_request_normalizes_uint8(self, artifact):
         from poco_tpu.constants import IMG_NORM_MEAN, IMG_NORM_STD

@@ -31,11 +31,35 @@ def main() -> None:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--batch-window-ms", type=float, default=5.0,
+                    help="micro-batch coalescing window (see BENCHMARKS.md "
+                         "serving table for the measured tuning)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="serve on CPU (data-parallel artifacts get a "
+                         "virtual device mesh of the artifact's size)")
     args = ap.parse_args()
+
+    if args.cpu:
+        # Must happen before jax initializes; dp artifacts need as many
+        # devices as they were exported for.
+        import json
+
+        with open(os.path.join(args.artifact, "meta.json")) as f:
+            dp = json.load(f).get("data_parallel")
+        if dp:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={dp}"
+                ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from poco_tpu.runtime.server import PocoServer
 
-    server = PocoServer(args.artifact, host=args.host, port=args.port)
+    server = PocoServer(args.artifact, host=args.host, port=args.port,
+                        batch_window_ms=args.batch_window_ms)
     print(f"serving {args.artifact} on {args.host}:{server.port} "
           f"(buckets {server.model.batch_sizes})")
     try:
