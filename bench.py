@@ -4,8 +4,9 @@ bf16 training step, all as crops/sec/chip with median + spread.
 Each inference bench runs the flagship fused pipeline — normalized 224px
 crops through the backbone -> head -> SMPL LBS (full 6890-vertex mesh)
 -> projection -> uncertainty head — as one jitted XLA program on the
-available device. The train bench measures the full fwd+bwd+Adam step
-(HRNet-W48 + CLIFF + flow loss) with the slope protocol.
+available device. The train benches measure the full fwd+bwd+Adam step
+for both shipped recipes (w48+CLIFF and w32+PARE, built from their
+configs/ yaml, flow loss included) with the slope protocol.
 
 Baseline contract (BASELINE.md): >2000 crops/sec on a v5e-8 for the
 POCO-CLIFF demo, i.e. 250 crops/sec/chip. `vs_baseline` is
@@ -18,7 +19,7 @@ tracked per round with spreads, so drifts are adjudicable).
 
 Env knobs: POCO_BENCH_BATCH (128), POCO_BENCH_ITERS (20),
 POCO_BENCH_CHAINS (5), POCO_BENCH_BF16 (1), POCO_BENCH_ONLY
-(cliff|pare|train — single-metric mode for manual runs).
+(cliff|pare|train_cliff|train_pare — single-metric mode for manual runs).
 """
 
 from __future__ import annotations
@@ -126,9 +127,13 @@ def bench_inference(which: str, dtype) -> dict:
     )
 
 
-def bench_train_step(dtype) -> dict:
-    from poco_tpu.losses.losses import LossConfig
-    from poco_tpu.models.poco import POCO, PocoConfig, init_poco, make_dummy_batch
+def bench_train_step(which: str, dtype) -> dict:
+    from poco_tpu.config import (
+        loss_config_from_hparams,
+        model_config_from_hparams,
+        update_hparams,
+    )
+    from poco_tpu.models.poco import POCO, init_poco, make_dummy_batch
     from poco_tpu.smpl.assets import synthetic_smpl_model
     from poco_tpu.train.state import create_train_state, make_optimizer
     from poco_tpu.train.step import make_train_step
@@ -136,14 +141,19 @@ def bench_train_step(dtype) -> dict:
     # 128/chip is the recommended production batch on v5e (measured +39%
     # crops/s over the reference's V100-era 64/GPU; BENCHMARKS.md r3).
     B = int(os.environ.get("POCO_BENCH_TRAIN_BATCH", "128"))
-    model = POCO(cfg=PocoConfig(), dtype=dtype)
+    hparams = update_hparams(f"configs/poco_{which}.yaml")
+    model = POCO(cfg=model_config_from_hparams(hparams), dtype=dtype)
     smpl = synthetic_smpl_model(num_verts=6890)
     variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
     state = create_train_state(model, variables, make_optimizer(lr=1e-4))
     # donate=True is the Trainer's production configuration (train/
-    # trainer.py:132); each chain below threads a fresh state copy so
-    # donation is safe to re-run.
-    train_step = make_train_step(model, LossConfig(), donate=True)
+    # trainer.py:132). The state is THREADED through every step below —
+    # never copied: round-3's protocol re-copied the full ~840 MB
+    # params+Adam tree per timed window (thousands of small tunnel
+    # transfers), which was the dominant source of its ±12% spread
+    # (BENCHMARKS.md r4 adjudication).
+    loss_cfg = loss_config_from_hparams(hparams)
+    train_step = make_train_step(model, loss_cfg, donate=True)
     batch = make_dummy_batch(model.cfg, B, include_gt=True)
     batch.update(
         pose=jnp.zeros((B, 72), jnp.float32),
@@ -152,16 +162,25 @@ def bench_train_step(dtype) -> dict:
         has_pose_3d=jnp.ones((B,), jnp.float32),
         keypoints=jnp.zeros((B, 49, 3), jnp.float32),
     )
+    if loss_cfg.keypoint2d_noncrop:
+        # The CLIFF recipe supervises full-image keypoints
+        # (KEYPOINT_2D_NONCROP, losses.py:224-237); the dataset supplies
+        # this key in real training.
+        batch["keypoints_fullimg"] = jnp.zeros((B, 49, 3), jnp.float32)
     rng = jax.random.PRNGKey(1)
+    state_box = [state]
 
     def run(n):
-        s = jax.tree_util.tree_map(jnp.copy, state)
+        s = state_box[0]
         m = None
         for _ in range(n):
             s, m = train_step(s, batch, smpl, rng)
+        state_box[0] = s
+        # Scalar fetch blocks on the whole chain (states are
+        # sequentially dependent through donation).
         return float(m["loss/total_loss"])
 
-    run(1)  # compile + warm
+    run(2)  # compile + warm
     samples = []
     for _ in range(N_CHAINS):
         t0 = time.perf_counter()
@@ -172,7 +191,7 @@ def bench_train_step(dtype) -> dict:
         d12 = time.perf_counter() - t0
         samples.append(B / (max(d12 - d2, 1e-9) / 10))
     return _summarize(
-        "poco_cliff_train_step_crops_per_sec_per_chip",
+        f"poco_{which}_train_step_crops_per_sec_per_chip",
         "crops/s/chip", samples,
     )
 
@@ -208,15 +227,22 @@ def main():
         else jnp.float32
     )
     only = os.environ.get("POCO_BENCH_ONLY", "")
-    if only == "train":
-        print(json.dumps(bench_train_step(dtype)))
+    if only in ("train", "train_cliff"):
+        print(json.dumps(bench_train_step("cliff", dtype)))
+        return
+    if only == "train_pare":
+        print(json.dumps(bench_train_step("pare", dtype)))
         return
     if only in ("cliff", "pare"):
         print(json.dumps(bench_inference(only, dtype)))
         return
 
     headline = bench_inference("cliff", dtype)
-    extras = [bench_inference("pare", dtype), bench_train_step(dtype)]
+    extras = [
+        bench_inference("pare", dtype),
+        bench_train_step("cliff", dtype),
+        bench_train_step("pare", dtype),
+    ]
     headline["extra_metrics"] = extras
     print(json.dumps(headline))
 
