@@ -436,7 +436,16 @@ class ResumableSampler:
 
 
 class DataLoader:
-    """Minimal single-host loader with background-thread prefetch."""
+    """Minimal single-host loader with background-thread prefetch.
+
+    Multi-process sharding: with `num_shards`/`shard_index` set (one
+    shard per JAX process), every process draws the SAME global batch
+    order (same seed) and yields only its contiguous row slice of each
+    global batch — the rows its local devices own once the trainer
+    assembles the global sharded array. `batch_size` stays the GLOBAL
+    batch size, so step count and batch composition are identical to a
+    single-process run.
+    """
 
     def __init__(
         self,
@@ -446,13 +455,27 @@ class DataLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        if batch_size % num_shards:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{num_shards} loader shards"
+            )
+        if num_shards > 1 and not drop_last:
+            raise ValueError(
+                "sharded loading requires drop_last=True (a short final "
+                "batch cannot be split evenly across processes)"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -472,10 +495,15 @@ class DataLoader:
         # dataset provides it; per-item otherwise.
         get_batch = getattr(self.dataset, "get_batch", None)
 
+        lo = self.shard_index * (self.batch_size // self.num_shards)
+        hi = lo + self.batch_size // self.num_shards
+
         def producer():
             try:
                 for b in range(n_batches):
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    if self.num_shards > 1:
+                        idxs = idxs[lo:hi]
                     if get_batch is not None:
                         q.put(get_batch(idxs))
                     else:

@@ -195,6 +195,24 @@ def run_eval(
     accum: dict[str, list[np.ndarray]] = {}
     n_dev = int(mesh.devices.size)
 
+    # Multi-process: every process walks the full dataset (host data is
+    # identical), each batch is sharded over the GLOBAL mesh, and the
+    # per-sample metric fetch becomes a collective all-gather — the
+    # reference instead disables result accumulation entirely for
+    # NUM_GPUS>1 (save_results.py:47).
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def fetch(v):
+            return np.asarray(
+                multihost_utils.process_allgather(v, tiled=True)
+            )
+    else:
+        def fetch(v):
+            return np.asarray(v)
+
     for bi, host_batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
@@ -231,7 +249,7 @@ def run_eval(
                 sharded["img"] = normalize_image(sharded["img"])
             m = step(variables, sharded, smpl_neutral, smpl_male, smpl_female)
         for k, v in m.items():
-            accum.setdefault(k, []).append(np.asarray(v)[:n_valid])
+            accum.setdefault(k, []).append(fetch(v)[:n_valid])
 
     mpj = np.concatenate(accum["mpjpe"]) * 1000.0
     pa = np.concatenate(accum["pa_mpjpe"]) * 1000.0

@@ -39,6 +39,7 @@ from ..config import (
 )
 from ..models.poco import POCO, init_poco
 from ..ops.preprocess import normalize_image
+from ..parallel import distributed as dist
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..smpl.lbs import SmplParams
 from .state import create_train_state, make_optimizer
@@ -93,6 +94,11 @@ class Trainer:
         self.train_dataset_fn = train_dataset_fn
         self.val_dataset = val_dataset
         self.mesh = mesh or make_mesh()
+        # Multi-process: the mesh spans every process's devices (one
+        # SPMD program); host-side writes are rank-0-gated (reference
+        # is_main_process(), train_utils.py:167-170).
+        self.is_main = dist.is_main_process()
+        self.n_procs = dist.process_count()
         self.logdir = hparams.LOG_DIR
         os.makedirs(self.logdir, exist_ok=True)
 
@@ -150,7 +156,7 @@ class Trainer:
         # here: "tensorboard" and a dependency-free "csv" scalar logger,
         # both alongside the always-on JSONL stream — e.g.
         # PREF_LOGGER: "tensorboard,csv".
-        pref = str(hparams.get("PREF_LOGGER", ""))
+        pref = str(hparams.get("PREF_LOGGER", "")) if self.is_main else ""
         self._tb = None
         if "tensorboard" in pref:
             try:
@@ -291,6 +297,8 @@ class Trainer:
         self._log({"event": "freeze", "epoch": epoch, "frozen": list(frozen)})
 
     def _log(self, record: dict) -> None:
+        if not self.is_main:
+            return
         record["time"] = time.time()
         if not hasattr(self, "_metrics_file"):
             self._metrics_file = open(
@@ -338,6 +346,18 @@ class Trainer:
         ]
         self._csv.write(",".join(row) + "\n")
 
+    def _fetch(self, arr) -> np.ndarray:
+        """Fetch a (possibly multi-process global) array to host numpy.
+
+        Collective when multi-process — every process must call it at
+        the same point; all of them receive the full value.
+        """
+        if self.n_procs == 1:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
     def _device_batch(self, host_batch: dict) -> dict:
         p = self.hparams.POCO
         cond_mask = select_gt_pose_cond(
@@ -353,18 +373,26 @@ class Trainer:
 
         # The batch axis must divide the mesh: pad by cycling real rows
         # (keeps loss statistics unchanged up to duplicate weighting).
+        # Multi-process: `batch` holds only this process's rows (the
+        # loader shard), so pad to the LOCAL device count and assemble
+        # the global array from per-process shards.
         n = len(next(iter(batch.values())))
         n_dev = int(self.mesh.devices.size)
-        pad = (-n) % n_dev
+        pad = (-n) % max(n_dev // self.n_procs, 1)
         if pad:
             # cycle indices so pad > n (batch smaller than the mesh)
             # still fills completely
             idx = np.arange(n + pad) % n
             batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
 
-        sharded = shard_batch(
-            {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
-        )
+        if self.n_procs > 1:
+            sharded = dist.global_batch_from_local(
+                batch, self.mesh, (n + pad) * self.n_procs
+            )
+        else:
+            sharded = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+            )
         sharded["img"] = normalize_image(sharded["img"])
         return sharded
 
@@ -379,6 +407,8 @@ class Trainer:
             batch_size=self.hparams.DATASET.BATCH_SIZE,
             shuffle=self.hparams.DATASET.SHUFFLE_TRAIN,
             seed=epoch,
+            num_shards=self.n_procs,
+            shard_index=dist.process_index(),
         )
         n_crops = 0
         t0 = time.perf_counter()
@@ -400,7 +430,7 @@ class Trainer:
                 state, metrics = self.train_step(
                     state, batch, smpl, step_rng
                 )
-                n_crops += host_batch["img"].shape[0]
+                n_crops += host_batch["img"].shape[0] * self.n_procs
                 self._global_step += 1
                 if step_i % self.hparams.TRAINING.LOG_SAVE_INTERVAL == 0:
                     var_pose = metrics.pop("_var_pose", None)
@@ -414,29 +444,39 @@ class Trainer:
                     )
                     # Per-joint uncertainty stats (reference
                     # poco_utils.accumulate_uncert, trainer.py:286-289).
+                    # _fetch is collective: EVERY process calls it, only
+                    # rank 0 consumes the result.
                     if var_pose is not None:
-                        self.uncert_stats.update(np.asarray(var_pose))
+                        var_host = self._fetch(var_pose)
+                        if self.is_main:
+                            self.uncert_stats.update(var_host)
                     # Mesh comparison grids (reference TB image
-                    # summaries, trainer.py:467-583).
+                    # summaries, trainer.py:467-583). Host-side
+                    # rendering is a rank-0 concern; the gathers are
+                    # collective.
                     if (
                         self.hparams.TRAINING.get("SAVE_IMAGES")
                         and viz is not None
                     ):
-                        from ..viz.train_viz import (
-                            render_training_grid,
-                            save_training_grid,
-                        )
+                        imgs = self._fetch(batch["img"])[:4]
+                        pred_verts = self._fetch(viz["pred_verts"])
+                        pred_cam = self._fetch(viz["pred_cam"])
+                        gt_verts = self._fetch(viz["gt_verts"])
+                        if self.is_main:
+                            from ..viz.train_viz import (
+                                render_training_grid,
+                                save_training_grid,
+                            )
 
-                        grid = render_training_grid(
-                            np.asarray(batch["img"][:4]),
-                            np.asarray(viz["pred_verts"]),
-                            np.asarray(viz["pred_cam"]),
-                            np.asarray(self.smpl.faces),
-                            gt_verts=np.asarray(viz["gt_verts"]),
-                        )
-                        save_training_grid(
-                            grid, self.logdir, f"train_e{epoch}_s{step_i}"
-                        )
+                            grid = render_training_grid(
+                                imgs, pred_verts, pred_cam,
+                                np.asarray(self.smpl.faces),
+                                gt_verts=gt_verts,
+                            )
+                            save_training_grid(
+                                grid, self.logdir,
+                                f"train_e{epoch}_s{step_i}",
+                            )
                 if profile_dir and epoch == 0 and step_i == 4:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
@@ -469,8 +509,11 @@ class Trainer:
         summary = result.summary()
         summary["epoch"] = epoch
         self.val_history.append(summary)
-        with open(os.path.join(self.logdir, "val_accuracy.json"), "w") as f:
-            json.dump(self.val_history, f, indent=1)
+        if self.is_main:
+            with open(
+                os.path.join(self.logdir, "val_accuracy.json"), "w"
+            ) as f:
+                json.dump(self.val_history, f, indent=1)
         self._log({"event": "val", **summary})
 
         # Best-model selection (reference trainer.py:407-442): lower
@@ -485,7 +528,7 @@ class Trainer:
             self.best_metric = min(metric, self.best_metric)
             self.best_corr = max(corr, self.best_corr)
             self.save_checkpoint("best_model")
-            if self.hparams.TESTING.SAVE_RESULTS:
+            if self.hparams.TESTING.SAVE_RESULTS and self.is_main:
                 self._dump_results(result, epoch)
         # Var-MPJPE best model (mpjpe / predicted variance): the
         # checkpoint behind `--inf_model best_mpjpe_var`
@@ -512,6 +555,8 @@ class Trainer:
         self._topk.sort(key=lambda x: x[0])
         while len(self._topk) > k:
             _, worst = self._topk.pop()
+            if not self.is_main:
+                continue
             path = os.path.join(self.logdir, worst)
             if os.path.exists(path):
                 shutil.rmtree(path, ignore_errors=True)
@@ -572,8 +617,11 @@ class Trainer:
         ckptr.wait_until_finished()
         # Host-side trainer state rides in a sidecar next to the orbax
         # dir (not inside it — orbax owns that directory's layout).
-        with open(path + ".trainer.json", "w") as f:
-            json.dump(self._trainer_state_dict(), f)
+        # Multi-process: orbax coordinates the array save across
+        # processes (all of them call save); the sidecar is rank-0's.
+        if self.is_main:
+            with open(path + ".trainer.json", "w") as f:
+                json.dump(self._trainer_state_dict(), f)
 
     def load_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp

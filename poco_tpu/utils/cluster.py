@@ -63,3 +63,45 @@ def write_launcher(
         f.write(body)
     os.chmod(path, os.stat(path).st_mode | stat.S_IXUSR)
     return path
+
+
+def write_multihost_launcher(
+    cfg_file: str,
+    num_hosts: int,
+    out_dir: str = "scripts",
+    script: str = "train.py",
+    coordinator_port: int = 7701,
+) -> str:
+    """Write the multi-host (multi-process) training launcher.
+
+    One JAX process per host, all forming ONE SPMD program over the
+    global mesh (parallel/distributed.py). Contract: run the emitted
+    script on every host as `./<name>.multihost.sh <host_index>
+    <coordinator_hostname>`; host 0's hostname is the coordinator. On a
+    TPU pod runtime none of this is needed — `python train.py --dist`
+    auto-detects the topology.
+
+    Reference analogue: PL DDP's NCCL rank spawn
+    (/root/reference/train.py:81-96, config.py:152-154).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    name = os.path.splitext(os.path.basename(cfg_file))[0]
+    path = os.path.join(out_dir, f"{name}.multihost.sh")
+    body = (
+        "#!/bin/bash\n"
+        "# usage (on EVERY host, i = 0..N-1): "
+        f"./{os.path.basename(path)} <i> <host0-hostname>\n"
+        "set -e\n"
+        'PROC_ID="${1:?process id (0..'
+        f"{num_hosts - 1}"
+        ')}"\n'
+        'COORD_HOST="${2:?coordinator hostname (host 0)}"\n'
+        f'export POCO_COORDINATOR="$COORD_HOST:{coordinator_port}"\n'
+        f"export POCO_NUM_PROCESSES={num_hosts}\n"
+        'export POCO_PROCESS_ID="$PROC_ID"\n'
+        f"python {script} --cfg {cfg_file}\n"
+    )
+    with open(path, "w") as f:
+        f.write(body)
+    os.chmod(path, os.stat(path).st_mode | stat.S_IXUSR)
+    return path

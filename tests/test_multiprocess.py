@@ -1,0 +1,125 @@
+"""Multi-process (multi-host-shaped) training correctness.
+
+The reference gets multi-node training from PyTorch-Lightning DDP
+(/root/reference/train.py:81-96, NCCL ranks + rank-0 gating in
+pocolib/utils/train_utils.py:161-184) and never tests it. Here the
+TPU-native equivalent — one SPMD program over a global mesh spanning
+several JAX processes (SURVEY §5.8) — is tested for METRIC EQUALITY:
+the same tiny-smoke training run must produce the same per-step losses,
+validation metrics, and final parameters whether it runs as one process
+owning 8 virtual CPU devices or as two processes owning 4 each
+(jax.distributed over Gloo, per-process loader shards).
+
+Subprocess-based: the JAX distributed runtime can only be initialized
+once per process, so each topology runs in fresh interpreters.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def smoke_data():
+    if not os.path.exists(
+        os.path.join(REPO, "data", "dataset_extras", "smoke_train.npz")
+    ):
+        subprocess.run(
+            [sys.executable, "tools/make_smoke_data.py", "--n", "8"],
+            cwd=REPO, check=True,
+        )
+    return os.path.join(REPO, "data")
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    # the worker sets its own device count; drop the test-process flags
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def _run_single(outdir: str, data_dir: str) -> dict:
+    subprocess.run(
+        [sys.executable, WORKER, "--nprocs", "1", "--devices", "8",
+         "--outdir", outdir, "--data_dir", data_dir],
+        cwd=REPO, check=True, env=_worker_env(), timeout=1200,
+    )
+    with open(os.path.join(outdir, "results.json")) as f:
+        return json.load(f)
+
+
+def _run_pair(outdir: str, data_dir: str) -> dict:
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--nprocs", "2", "--proc_id", str(i),
+             "--port", str(port), "--devices", "4",
+             "--outdir", outdir, "--data_dir", data_dir],
+            cwd=REPO, env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"worker failed (rc={p.returncode}):\n{out[-4000:]}"
+        )
+    with open(os.path.join(outdir, "results.json")) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(smoke_data, tmp_path):
+    single = _run_single(str(tmp_path / "single"), smoke_data)
+    pair = _run_pair(str(tmp_path / "pair"), smoke_data)
+
+    assert single["process_count"] == 1 and single["n_devices"] == 8
+    assert pair["process_count"] == 2 and pair["n_devices"] == 8
+
+    # Same number of optimizer steps (global batch semantics preserved).
+    assert len(pair["losses"]) == len(single["losses"]) > 0
+
+    # Per-step training losses: identical math modulo collective
+    # reduction order (Gloo ring vs single-process all-reduce).
+    np.testing.assert_allclose(
+        pair["losses"], single["losses"], rtol=2e-4,
+        err_msg="per-step training losses diverge between 1-proc and "
+                "2-proc runs",
+    )
+
+    # Validation metrics computed through the collective-gather path.
+    for key in ("mpjpe", "pa_mpjpe", "v2v"):
+        if key in single["val"]:
+            np.testing.assert_allclose(
+                pair["val"][key], single["val"][key], rtol=2e-4,
+                err_msg=f"val {key} diverges",
+            )
+
+    # Final parameters (post-update, replicated) agree.
+    np.testing.assert_allclose(
+        pair["param_sum"], single["param_sum"], rtol=1e-5,
+        err_msg="final parameter checksum diverges",
+    )

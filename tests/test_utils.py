@@ -118,6 +118,20 @@ class TestCluster:
         path = write_launcher(str(cfg), out_dir=str(tmp_path), scheduler="slurm")
         assert "#SBATCH --array=0-0" in open(path).read()
 
+    def test_multihost_launcher(self, tmp_path):
+        import yaml
+        from poco_tpu.utils.cluster import write_multihost_launcher
+
+        cfg = tmp_path / "one.yaml"
+        yaml.safe_dump({"METHOD": "poco"}, open(cfg, "w"))
+        path = write_multihost_launcher(
+            str(cfg), num_hosts=4, out_dir=str(tmp_path)
+        )
+        body = open(path).read()
+        assert "POCO_NUM_PROCESSES=4" in body
+        assert "POCO_COORDINATOR" in body and "POCO_PROCESS_ID" in body
+        assert os.access(path, os.X_OK)
+
 
 class TestPoseTracker:
     def test_read_posetrack_json(self, tmp_path):

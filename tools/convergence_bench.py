@@ -152,6 +152,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data")
+    ap.add_argument("--which", default="cliff", choices=["cliff", "pare"],
+                    help="recipe: configs/convergence.yaml (CLIFF) or "
+                         "configs/convergence_pare.yaml (PARE part-"
+                         "attention family)")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--mpjpe_thresh", type=float, default=120.0)
     ap.add_argument("--corr_thresh", type=float, default=0.2)
@@ -168,10 +172,17 @@ def main():
     if args.make_data_only:
         return
 
+    cfg = (
+        "configs/convergence.yaml"
+        if args.which == "cliff"
+        else "configs/convergence_pare.yaml"
+    )
+    exp_name = "convergence" if args.which == "cliff" else "convergence_pare"
+
     env = dict(os.environ)
     if not args.skip_train:
         r = subprocess.run(
-            [sys.executable, "train.py", "--cfg", "configs/convergence.yaml",
+            [sys.executable, "train.py", "--cfg", cfg,
              "--data_dir", args.root, "--max_epochs", str(args.epochs)],
             cwd=REPO, env=env,
         )
@@ -184,15 +195,15 @@ def main():
     # Newest by mtime: the dir names embed %d-%m-%Y timestamps, which do
     # NOT sort chronologically as strings (day field first).
     cands = glob.glob(
-        os.path.join(REPO, "logs", "**", "convergence_ID*"), recursive=True
+        os.path.join(REPO, "logs", "**", f"{exp_name}_ID*"), recursive=True
     )
     if not cands:
-        raise SystemExit("no convergence logdir found")
+        raise SystemExit(f"no {exp_name} logdir found")
     logdir = max(cands, key=os.path.getmtime)
 
-    report = "/tmp/convergence_eval.json"
+    report = f"/tmp/convergence_eval_{args.which}.json"
     r = subprocess.run(
-        [sys.executable, "eval.py", "--cfg", "configs/convergence.yaml",
+        [sys.executable, "eval.py", "--cfg", cfg,
          "--ckpt", logdir, "--dataset", "conv", "--data_dir", args.root,
          "--batch_size", "50", "--out", report],
         cwd=REPO, env=env,
@@ -205,9 +216,28 @@ def main():
     mpjpe = float(summary.get("mpjpe", float("nan")))
     corr = float(summary.get("uncert_pose_corr", float("nan")))
     sample_corr = float(summary.get("uncert_mpjpe_corr", float("nan")))
+
+    # Calibration trajectory (corr / mpjpe vs epoch) from the trainer's
+    # validation history — the curve BENCHMARKS.md trends to show the
+    # gate margin is a plateau property, not a lucky final epoch.
+    curve = []
+    val_hist = os.path.join(logdir, "val_accuracy.json")
+    if os.path.exists(val_hist):
+        with open(val_hist) as f:
+            for rec in json.load(f):
+                curve.append({
+                    "epoch": rec.get("epoch"),
+                    "mpjpe": round(float(rec.get("mpjpe", float("nan"))), 2),
+                    "uncert_pose_corr": round(
+                        float(rec.get("uncert_pose_corr", float("nan"))), 4
+                    ),
+                })
+
     ok = mpjpe <= args.mpjpe_thresh and corr >= args.corr_thresh
     print(json.dumps({
         "benchmark": "synthetic_convergence",
+        "which": args.which,
+        "curve": curve,
         "epochs": args.epochs,
         "val_mpjpe_mm": round(mpjpe, 2),
         "uncert_pose_corr": round(corr, 4),

@@ -7,6 +7,16 @@ STAGE_DATASETS, fit with validation.
 Usage:
     python train.py --cfg configs/poco_cliff.yaml [--cfg_id 0]
         [--data_dir data] [--smpl_dir data/smpl] [--max_epochs N]
+
+Multi-process (multi-host) launch — the reference's DDP equivalent
+(/root/reference/train.py:81-96), one process per host, one SPMD
+program over the global mesh:
+
+    POCO_COORDINATOR=host0:1234 POCO_NUM_PROCESSES=2 POCO_PROCESS_ID=0 \
+        python train.py --cfg ...   # on host 0, and likewise id=1 on
+                                    # host 1. On a TPU pod runtime,
+                                    # plain `python train.py --dist`
+                                    # auto-detects all of it.
 """
 
 from __future__ import annotations
@@ -78,6 +88,13 @@ def main():
              "optimizer state start fresh",
     )
     parser.add_argument(
+        "--dist", action="store_true",
+        help="initialize jax.distributed with auto-detected pod "
+             "topology (explicit topology comes from POCO_COORDINATOR/"
+             "POCO_NUM_PROCESSES/POCO_PROCESS_ID env vars, which work "
+             "without this flag)",
+    )
+    parser.add_argument(
         "--make_launcher", default=None, choices=["bash", "slurm"],
         help="write a grid-search array launcher and exit (the "
              "reference's --cluster HTCondor handoff contract, "
@@ -93,7 +110,12 @@ def main():
         return
 
     from poco_tpu.config import dataset_npz_path, run_grid_search_experiments
+    from poco_tpu.parallel import distributed as dist
     from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    # Must run before first device use so the processes form one SPMD
+    # runtime (reference: PL spawns DDP ranks here, train.py:81-96).
+    dist.maybe_initialize(auto=args.dist)
 
     enable_compilation_cache()
     from poco_tpu.data.dataset import PocoDataset
@@ -106,7 +128,8 @@ def main():
         hparams.DATASET.DATA_DIR = args.data_dir
     if args.pretrained:
         hparams.TRAINING.PRETRAINED = args.pretrained
-    copy_code(hparams.LOG_DIR)
+    if dist.is_main_process():
+        copy_code(hparams.LOG_DIR)
 
     smpl = resolve_smpl_params(args.smpl_dir, "neutral")
     smpl_male = resolve_smpl_params(args.smpl_dir, "male")
