@@ -130,6 +130,7 @@ def export_poco(
     platforms: tuple[str, ...] = ("cpu", "tpu"),
     compact: bool = False,
     data_parallel: int | None = None,
+    uint8_input: bool = False,
 ) -> str:
     """Export `model.apply` inference to an AOT artifact directory.
 
@@ -148,6 +149,10 @@ def export_poco(
             into the artifact — one dispatch drives the whole slice).
             Requires the devices at export time AND at load time; every
             batch bucket must be divisible by it.
+        uint8_input: the exported program takes RAW uint8 crops and
+            normalizes on device (training constants baked in) — 4x
+            smaller host->device uploads and no host normalize pass;
+            the natural serving format (clients send camera crops).
 
     Returns out_dir.
     """
@@ -175,6 +180,12 @@ def export_poco(
             vertex_joint_ids=vertex_joint_ids,
             **smpl_arrays,
         )
+        if uint8_input:
+            from poco_tpu.ops.preprocess import normalize_image
+
+            batch = dict(batch)
+            # normalize_image expects [0, 255] (max_val default)
+            batch["img"] = normalize_image(batch["img"].astype(jnp.float32))
         out = model.apply(variables, batch, sp, train=False)
         out = {k: v for k, v in out.items() if v is not None}
         if compact:
@@ -232,6 +243,10 @@ def export_poco(
         batch_spec = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
         )
+        if uint8_input:
+            batch_spec["img"] = jax.ShapeDtypeStruct(
+                batch["img"].shape, np.uint8
+            )
         exp = jax.export.export(jit_forward, **export_kwargs)(
             var_spec, smpl_spec, batch_spec
         )
@@ -254,6 +269,7 @@ def export_poco(
         "batch_sizes": list(batch_sizes),
         "platforms": list(platforms),
         "compact": bool(compact),
+        "uint8_input": bool(uint8_input),
         "data_parallel": int(data_parallel) if data_parallel else None,
         "batch_keys": sorted(
             make_dummy_batch(model.cfg, 1, include_gt=False).keys()
@@ -293,6 +309,7 @@ class ExportedPoco:
         self.path = path
         self.batch_sizes = sorted(self.meta["batch_sizes"])
         self.batch_keys = list(self.meta["batch_keys"])
+        self.uint8_input = bool(self.meta.get("uint8_input", False))
         flat_vars = _load_npz(
             osp.join(path, VARIABLES_NAME),
             self.meta.get("variables_bf16_keys", {}),
@@ -373,7 +390,7 @@ class ExportedPoco:
         self._ensure_resident()
         for b in self.batch_sizes:
             batch = {
-                k: np.zeros((b,) + self._key_shape(k), np.float32)
+                k: np.zeros((b,) + self._key_shape(k), self._key_dtype(k))
                 for k in self.batch_keys
             }
             jax.block_until_ready(
@@ -391,12 +408,20 @@ class ExportedPoco:
             "orig_shape": (2,),
         }[key]
 
-    def predict(self, batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        """Run inference on a host batch of any size.
+    def _key_dtype(self, key: str):
+        if key == "img" and self.uint8_input:
+            return np.uint8
+        return np.float32
+
+    def predict_async(self, batch: dict[str, np.ndarray]) -> "PendingPrediction":
+        """Dispatch inference without waiting for the outputs.
 
         Pads up to the smallest bucket that fits; chunks by the largest
-        bucket when the request exceeds it. Returns numpy arrays sliced
-        back to the request size.
+        bucket when the request exceeds it. All chunk dispatches are
+        enqueued (jax dispatch is async); the returned handle's
+        `.result()` fetches host numpy. Splitting dispatch from fetch
+        lets a serving loop overlap wave N's device->host download with
+        wave N+1's upload+compute (MicroBatcher does exactly that).
         """
         missing = [k for k in self.batch_keys if k not in batch]
         if missing:
@@ -404,9 +429,15 @@ class ExportedPoco:
         n = int(np.shape(batch[self.batch_keys[0]])[0])
         if n == 0:
             raise ValueError("empty batch")
+        if self.uint8_input and np.asarray(batch["img"]).dtype != np.uint8:
+            raise ValueError(
+                "artifact was exported with uint8_input=True (on-device "
+                f"normalize); got img dtype {np.asarray(batch['img']).dtype}"
+                " — send raw uint8 crops"
+            )
         self._ensure_resident()
         largest = self.batch_sizes[-1]
-        outs: list[dict[str, np.ndarray]] = []
+        chunks: list[tuple[dict, int]] = []
         for start in range(0, n, largest):
             chunk = {
                 k: np.asarray(batch[k])[start : start + largest]
@@ -426,9 +457,36 @@ class ExportedPoco:
             out = self._call_for(bucket)(
                 self.variables, self.smpl_arrays, chunk
             )
-            outs.append(
-                {k: np.asarray(v)[:m] for k, v in out.items()}
-            )
+            chunks.append((out, m))
+        return PendingPrediction(chunks)
+
+    def predict(self, batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        """Run inference on a host batch of any size (dispatch + fetch)."""
+        return self.predict_async(batch).result()
+
+
+class PendingPrediction:
+    """Handle to in-flight dispatches; `.result()` fetches host numpy."""
+
+    def __init__(self, chunks: list[tuple[dict, int]]):
+        self._chunks = chunks
+
+    def result(self) -> dict[str, np.ndarray]:
+        # Start every device->host copy before consuming any:
+        # np.asarray alone fetches the keys SEQUENTIALLY, one
+        # synchronous round trip each — measured 373 ms/request for
+        # 12 output keys over a tunneled chip vs 49 ms overlapped
+        # (BENCHMARKS.md "Serving under load").
+        for out, _ in self._chunks:
+            for v in out.values():
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
+        outs = [
+            {k: np.asarray(v)[:m] for k, v in out.items()}
+            for out, m in self._chunks
+        ]
+        if len(outs) == 1:
+            return outs[0]
         return {
             k: np.concatenate([o[k] for o in outs], axis=0)
             for k in outs[0]

@@ -27,6 +27,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
 
 import numpy as np
 
@@ -59,13 +60,25 @@ def prepare_request_batch(
         raise ValueError(
             f"img must be {res}x{res} crops, got {img.shape[1]}x{img.shape[2]}"
         )
-    if img.dtype == np.uint8:
-        img = img.astype(np.float32) / 255.0
-        img = (img - np.asarray(IMG_NORM_MEAN, np.float32)) / np.asarray(
-            IMG_NORM_STD, np.float32
-        )
-    n = img.shape[0]
-    batch = {"img": img.astype(np.float32)}
+    if getattr(model, "uint8_input", False):
+        # The artifact normalizes ON DEVICE: ship raw uint8 (4x fewer
+        # request/upload bytes). A pre-normalized float body cannot be
+        # recovered into uint8 — reject it rather than mis-normalize.
+        if img.dtype != np.uint8:
+            raise ValueError(
+                "this artifact takes raw uint8 crops (on-device "
+                f"normalize); got {img.dtype}"
+            )
+        n = img.shape[0]
+        batch = {"img": img}
+    else:
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+            img = (img - np.asarray(IMG_NORM_MEAN, np.float32)) / np.asarray(
+                IMG_NORM_STD, np.float32
+            )
+        n = img.shape[0]
+        batch = {"img": img.astype(np.float32)}
     defaults = {
         "bbox_info": np.zeros((n, 3), np.float32),
         "focal_length": np.full((n,), 1000.0, np.float32),
@@ -130,10 +143,23 @@ class MicroBatcher:
         return item["out"]
 
     def _loop(self) -> None:
+        # Depth-1 dispatch pipeline, SINGLE thread: wave N+1 is
+        # dispatched (jax enqueues the upload + launch asynchronously
+        # and returns) BEFORE wave N's outputs are fetched, so N+1's
+        # host->device transfer and compute overlap N's device->host
+        # download. One thread issues every jax call — a two-thread
+        # dispatch/fetch split crashed the (experimental) tunneled-TPU
+        # client sporadically under load.
+        prev: tuple[list, Any] | None = None
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.1)
+                # With a wave in flight, don't sleep long on an empty
+                # queue — its waiters are blocked on our finalize.
+                first = self._queue.get(timeout=0.003 if prev else 0.1)
             except queue.Empty:
+                if prev is not None:
+                    self._finalize(*prev)
+                    prev = None
                 continue
             items = [first]
             rows = first["n"]
@@ -148,6 +174,7 @@ class MicroBatcher:
                     break
                 items.append(nxt)
                 rows += nxt["n"]
+            pending = None
             try:
                 if len(items) == 1:
                     merged = first["batch"]
@@ -160,22 +187,50 @@ class MicroBatcher:
                         for k in first["batch"]
                     }
                 self.dispatch_count += 1
-                out = self.model.predict(merged)
-                offset = 0
-                for it in items:
-                    it["out"] = {
-                        k: v[offset : offset + it["n"]] for k, v in out.items()
-                    }
-                    offset += it["n"]
+                dispatch = getattr(self.model, "predict_async", None)
+                if dispatch is not None:
+                    pending = dispatch(merged)
+                else:  # plain-predict models (tests' fakes)
+                    pending = _Ready(self.model.predict(merged))
             except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
                 for it in items:
                     it["err"] = e
+                    it["event"].set()
+            if prev is not None:
+                self._finalize(*prev)
+                prev = None
+            if pending is not None:
+                prev = (items, pending)
+        if prev is not None:
+            self._finalize(*prev)
+
+    def _finalize(self, items: list, pending) -> None:
+        """Fetch a dispatched wave's outputs and wake its waiters."""
+        try:
+            out = pending.result()
+            offset = 0
             for it in items:
-                it["event"].set()
+                it["out"] = {
+                    k: v[offset : offset + it["n"]] for k, v in out.items()
+                }
+                offset += it["n"]
+        except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
+            for it in items:
+                it["err"] = e
+        for it in items:
+            it["event"].set()
 
     def stop(self) -> None:
         self._stop.set()
         self._thread.join(timeout=10)
+
+
+class _Ready:
+    def __init__(self, out):
+        self._out = out
+
+    def result(self):
+        return self._out
 
 
 def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
@@ -240,6 +295,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
+class _Server(ThreadingHTTPServer):
+    # Default socketserver backlog is 5: a 64-client connect wave gets
+    # connection-reset before a single request is read (measured; see
+    # BENCHMARKS.md "Serving under load").
+    request_queue_size = 128
+
+
 class PocoServer:
     """Threaded HTTP server bound to an exported artifact.
 
@@ -257,7 +319,7 @@ class PocoServer:
             else load_exported(artifact)
         )
         self.batcher = MicroBatcher(self.model, window_ms=batch_window_ms)
-        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.httpd = _Server((host, port), _Handler)
         self.httpd.model = self.model  # type: ignore[attr-defined]
         self.httpd.batcher = self.batcher  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None

@@ -100,6 +100,51 @@ class TestExportRoundtrip:
             out["pred_pose"][:2], two["pred_pose"], atol=1e-5
         )
 
+    def test_uint8_input_matches_host_normalize(
+        self, tiny_setup, tmp_path
+    ):
+        """A uint8_input artifact (on-device normalize) must reproduce
+        the float artifact fed host-normalized crops; float input to a
+        uint8 artifact is rejected (cannot be recovered into uint8)."""
+        model, smpl, variables = tiny_setup
+        out = str(tmp_path / "tiny_u8")
+        export_poco(
+            model, variables, smpl, out,
+            batch_sizes=(2,), platforms=("cpu",), uint8_input=True,
+        )
+        loaded = load_exported(out)
+        assert loaded.uint8_input
+
+        rng = np.random.RandomState(2)
+        crops_u8 = rng.randint(0, 256, (2, 224, 224, 3), dtype=np.uint8)
+        batch = {
+            k: np.asarray(v)
+            for k, v in make_dummy_batch(
+                model.cfg, batch_size=2, include_gt=False
+            ).items()
+        }
+        batch["img"] = crops_u8
+        got = loaded.predict(batch)
+
+        from poco_tpu.ops.preprocess import normalize_image
+
+        batch_f = dict(batch)
+        batch_f["img"] = np.asarray(
+            normalize_image(jax.numpy.asarray(crops_u8, jax.numpy.float32))
+        )
+        want = model.apply(
+            variables,
+            {k: jax.numpy.asarray(v) for k, v in batch_f.items()},
+            smpl, train=False,
+        )
+        np.testing.assert_allclose(
+            got["pred_pose"], np.asarray(want["pred_pose"]),
+            rtol=2e-6, atol=1e-6,
+        )
+
+        with pytest.raises(ValueError, match="uint8"):
+            loaded.predict(batch_f)
+
     def test_data_parallel_export_matches_single_device(
         self, tiny_setup, artifact, tmp_path
     ):
@@ -443,3 +488,22 @@ class TestServer:
         want = (1.0 - np.asarray(IMG_NORM_MEAN)) / np.asarray(IMG_NORM_STD)
         np.testing.assert_allclose(batch["img"][0, 0, 0], want, atol=1e-6)
         assert batch["focal_length"].shape == (1,)
+
+    def test_prepare_request_uint8_passthrough(self, artifact):
+        """For a uint8_input artifact the server must NOT normalize on
+        host — raw bytes pass through; float bodies are rejected."""
+        from poco_tpu.runtime.server import prepare_request_batch
+
+        loaded = load_exported(artifact)
+        loaded.uint8_input = True  # view the same artifact as raw-ingest
+        try:
+            img = np.full((1, 224, 224, 3), 7, np.uint8)
+            batch = prepare_request_batch(loaded, {"img": img})
+            assert batch["img"].dtype == np.uint8
+            assert batch["img"][0, 0, 0, 0] == 7
+            with pytest.raises(ValueError, match="uint8"):
+                prepare_request_batch(
+                    loaded, {"img": np.zeros((1, 224, 224, 3), np.float32)}
+                )
+        finally:
+            loaded.uint8_input = False

@@ -32,6 +32,7 @@ import sys
 import tempfile
 import threading
 import time
+import urllib.error
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,11 +62,16 @@ def run_combo(
         for i in range(n_clients)
     ]
     # settle: one request primes connections + the bucket's program
-    urllib.request.urlopen(
-        urllib.request.Request(f"{base}/predict", data=payloads[0],
-                               method="POST"),
-        timeout=600,
-    ).read()
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/predict", data=payloads[0],
+                                   method="POST"),
+            timeout=600,
+        ).read()
+    except urllib.error.HTTPError as e:
+        raise RuntimeError(
+            f"settle request failed: {e.code} {e.read().decode()[:500]}"
+        ) from e
 
     req0, disp0 = batcher.request_count, batcher.dispatch_count
     latencies: list[list[float]] = [[] for _ in range(n_clients)]
@@ -118,6 +124,12 @@ def main() -> None:
                     help="reuse an artifact (else export poco_cliff bf16)")
     ap.add_argument("--which", default="cliff", choices=["cliff", "pare"])
     ap.add_argument("--buckets", default="1,8,32,128")
+    ap.add_argument("--uint8", action="store_true",
+                    help="export the artifact with uint8_input=True "
+                         "(raw-crop ingest, on-device normalize)")
+    ap.add_argument("--compact", action="store_true",
+                    help="export with fp16 vertex/joint outputs "
+                         "(halves the response fetch bytes)")
     ap.add_argument("--window-ms", type=float, default=5.0)
     ap.add_argument("--combos", default="1x1,8x1,64x1,1x16,8x16,64x16",
                     help="comma list of <clients>x<crops_per_request>")
@@ -154,7 +166,9 @@ def main() -> None:
         variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
         artifact = os.path.join(
             tempfile.gettempdir(),
-            f"poco_{args.which}_serve_{'_'.join(map(str, buckets))}",
+            f"poco_{args.which}_serve_{'_'.join(map(str, buckets))}"
+            + ("_u8" if args.uint8 else "")
+            + ("_c" if args.compact else ""),
         )
         if not os.path.exists(os.path.join(artifact, "meta.json")):
             t0 = time.perf_counter()
@@ -162,6 +176,8 @@ def main() -> None:
                 model, variables, smpl, artifact,
                 batch_sizes=buckets,
                 platforms=(jax.default_backend(),),
+                uint8_input=args.uint8,
+                compact=args.compact,
             )
             print(f"exported -> {artifact} "
                   f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--platforms", default="cpu,tpu")
     ap.add_argument("--compact", action="store_true",
                     help="fp16 vertex/joint outputs (rendering-grade)")
+    ap.add_argument("--uint8-input", action="store_true",
+                    help="program takes raw uint8 crops and normalizes "
+                         "on device (4x smaller request uploads)")
     ap.add_argument("--data_parallel", type=int, default=None,
                     help="shard each batch bucket over N devices (SPMD; "
                          "lowers for the dp_platform only)")
@@ -110,6 +113,7 @@ def main() -> None:
         platforms=tuple(args.platforms.split(",")),
         compact=args.compact,
         data_parallel=args.data_parallel,
+        uint8_input=args.uint8_input,
     )
     total = sum(
         os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
