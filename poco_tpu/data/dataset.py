@@ -307,7 +307,7 @@ class PocoDataset:
 
         return native_loader.native_available()
 
-    def get_batch(self, indices) -> dict[str, np.ndarray]:
+    def get_batch(self, indices, keep=None) -> dict[str, np.ndarray]:
         """Whole-batch fast path: threaded C++ decode + affine warp.
 
         Default when the native library builds and it handles every
@@ -318,11 +318,43 @@ class PocoDataset:
         is built with the identical cv2-convention math
         (transforms.affine_output_to_source), so both paths produce the
         same samples.
-        """
-        from .transforms import affine_output_to_source
 
+        keep: optional positions (slice or index list) of the rows to
+        materialize. Per-row randomness (the augmentation draws) is
+        consumed for EVERY index first, so a sharded multi-process
+        loader that passes the GLOBAL batch indices with
+        keep=slice(lo, hi) reproduces exactly the rows a
+        single-process run assigns to that shard — instead of each
+        process consuming an identical RNG stream on different rows
+        (correlated augmentation across shards). When keep is given
+        the result carries '_global_row_names' (dataset_name per
+        GLOBAL row) for batch-composition policies that must be
+        decided globally (trainer GT-pose conditioning).
+        """
         indices = [int(i) for i in indices]
         augs = [self._sample_aug() for _ in indices]
+        gnames = None
+        if keep is not None:
+            gnames = [self.dataset_name] * len(indices)
+            sel = (
+                list(range(len(indices)))[keep]
+                if isinstance(keep, slice)
+                else [int(k) for k in keep]
+            )
+            indices = [indices[k] for k in sel]
+            augs = [augs[k] for k in sel]
+            if not indices:  # RNG consumed; nothing to materialize
+                return {"_global_row_names": gnames}
+        batch = self._materialize_batch(indices, augs)
+        if gnames is not None:
+            batch["_global_row_names"] = gnames
+        return batch
+
+    def _materialize_batch(
+        self, indices: list[int], augs: list
+    ) -> dict[str, np.ndarray]:
+        from .transforms import affine_output_to_source
+
         paths = [
             os.path.join(self.img_dir, str(self.imgname[i])) for i in indices
         ]
@@ -494,6 +526,11 @@ class DataLoader:
         # Whole-batch fast path (native threaded decode+warp) when the
         # dataset provides it; per-item otherwise.
         get_batch = getattr(self.dataset, "get_batch", None)
+        supports_keep = False
+        if get_batch is not None:
+            import inspect
+
+            supports_keep = "keep" in inspect.signature(get_batch).parameters
 
         lo = self.shard_index * (self.batch_size // self.num_shards)
         hi = lo + self.batch_size // self.num_shards
@@ -502,6 +539,16 @@ class DataLoader:
             try:
                 for b in range(n_batches):
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    if self.num_shards > 1 and supports_keep:
+                        # Global indices + local keep window: the dataset
+                        # consumes per-row randomness for the WHOLE
+                        # global batch (identical on every process) and
+                        # materializes only this shard's rows — exact
+                        # single-process batch semantics, de-correlated
+                        # shards, and '_global_row_names' for global
+                        # batch-composition policies.
+                        q.put(get_batch(idxs, keep=slice(lo, hi)))
+                        continue
                     if self.num_shards > 1:
                         idxs = idxs[lo:hi]
                     if get_batch is not None:

@@ -12,6 +12,8 @@ Reference contracts:
 
 from __future__ import annotations
 
+import inspect
+
 import numpy as np
 
 
@@ -74,7 +76,7 @@ class RatioMixedDataset:
         i = self._pick()
         return self.datasets[i][index % len(self.datasets[i])]
 
-    def get_batch(self, indices) -> dict:
+    def get_batch(self, indices, keep=None) -> dict:
         """Whole-batch fast path: draw the per-item dataset choices, then
         let each member batch its share natively (PocoDataset.get_batch —
         the threaded C++ decode path); reassemble in request order.
@@ -82,27 +84,65 @@ class RatioMixedDataset:
         Without this, every mixed-dataset run (the reference's standard
         DATASETS_AND_RATIOS training setup) silently fell back to
         per-item cv2 decode.
+
+        keep: optional positions (slice or index list) to materialize,
+        for sharded multi-process loading. Dataset picks are drawn for
+        EVERY index (so the global batch composition is identical on
+        all processes and to a single-process run), member datasets
+        consume their per-row randomness over their full global share,
+        and only the kept rows are decoded. The result then carries
+        '_global_row_names' (member dataset_name per GLOBAL row).
         """
         from .dataset import collate
 
         indices = [int(i) for i in indices]
         choices = [self._pick() for _ in indices]
-        items: list = [None] * len(indices)
+        if keep is None:
+            sel = list(range(len(indices)))
+            gnames = None
+        else:
+            gnames = [
+                getattr(self.datasets[c], "dataset_name", f"ds{c}")
+                for c in choices
+            ]
+            sel = (
+                list(range(len(indices)))[keep]
+                if isinstance(keep, slice)
+                else [int(k) for k in keep]
+            )
+        slot = {k: j for j, k in enumerate(sel)}  # global pos -> out row
+        items: list = [None] * len(sel)
         for di, ds in enumerate(self.datasets):
             pos = [k for k, c in enumerate(choices) if c == di]
             if not pos:
                 continue
             local = [indices[k] % len(ds) for k in pos]
-            if hasattr(ds, "get_batch"):
-                sub = ds.get_batch(local)
-                # un-collate the member batch back into items
-                keys = list(sub)
+            kept = [r for r, k in enumerate(pos) if k in slot]
+            sub_get = getattr(ds, "get_batch", None)
+            if sub_get is not None and len(kept) == len(pos):
+                # full share kept (single-process / keep=None): the
+                # pre-keep call path, bit-identical member RNG use
+                sub = sub_get(local)
                 for j, k in enumerate(pos):
-                    items[k] = {key: sub[key][j] for key in keys}
+                    items[slot[k]] = {
+                        key: sub[key][j] for key in sub
+                    }
+            elif sub_get is not None and (
+                "keep" in inspect.signature(sub_get).parameters
+            ):
+                # partial share: member consumes randomness for its
+                # WHOLE global share, materializes only kept rows
+                sub = sub_get(local, keep=kept)
+                keys = [k for k in sub if k != "_global_row_names"]
+                for j, r in enumerate(kept):
+                    items[slot[pos[r]]] = {key: sub[key][j] for key in keys}
             else:
-                for k, li in zip(pos, local):
-                    items[k] = ds[li]
-        return collate(items)
+                for r in kept:
+                    items[slot[pos[r]]] = ds[local[r]]
+        batch = collate(items)
+        if gnames is not None:
+            batch["_global_row_names"] = gnames
+        return batch
 
 
 def spin_mixed_partition(dataset_lengths: list[int]) -> list[float]:

@@ -200,18 +200,10 @@ def run_eval(
     # per-sample metric fetch becomes a collective all-gather — the
     # reference instead disables result accumulation entirely for
     # NUM_GPUS>1 (save_results.py:47).
-    import jax as _jax
+    from ..parallel import distributed as dist
 
-    if _jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        def fetch(v):
-            return np.asarray(
-                multihost_utils.process_allgather(v, tiled=True)
-            )
-    else:
-        def fetch(v):
-            return np.asarray(v)
+    def fetch(v):
+        return np.asarray(dist.allgather(v))
 
     for bi, host_batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:

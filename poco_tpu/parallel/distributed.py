@@ -64,7 +64,24 @@ def maybe_initialize(
         # No topology configured: single-process run. Deciding this
         # must not touch jax — initialize() is illegal after any call
         # that spins up the XLA backend (even jax.process_count()).
+        # A dangling POCO_PROCESS_ID alone is a broken launcher (the
+        # coordinator/num_processes vars were lost): every host would
+        # silently train independently, each believing it is rank 0.
+        if process_id is not None:
+            raise ValueError(
+                "POCO_PROCESS_ID is set but POCO_COORDINATOR / "
+                "POCO_NUM_PROCESSES are not — refusing to fall back to "
+                "independent single-process runs; fix the launcher env"
+            )
         return False
+    if not auto and (coordinator is None or num_processes is None
+                     or process_id is None):
+        raise ValueError(
+            "incomplete multi-process topology: need ALL of "
+            "POCO_COORDINATOR, POCO_NUM_PROCESSES, POCO_PROCESS_ID "
+            f"(got coordinator={coordinator!r}, "
+            f"num_processes={num_processes!r}, process_id={process_id!r})"
+        )
 
     import jax
 
@@ -144,16 +161,22 @@ def global_batch_from_local(
 
 
 def allgather(tree: Any) -> Any:
-    """Gather per-process host values to every process (reference
-    analogue: the rank-0 accumulation save_results.py disables for
-    NUM_GPUS>1 — here eval metrics survive multi-process)."""
+    """Gather a (possibly multi-process global) tree to every process.
+
+    tiled=True assembles each global sharded array into its full value
+    (rather than stacking per-process copies) — the semantics every
+    caller here wants (trainer._fetch, eval runner metric fetches).
+    Reference analogue: the rank-0 accumulation save_results.py
+    disables for NUM_GPUS>1 — here eval metrics survive multi-process.
+    Collective: every process must call it at the same point.
+    """
     import jax
 
     if jax.process_count() == 1:
         return tree
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(tree)
+    return multihost_utils.process_allgather(tree, tiled=True)
 
 
 def barrier(name: str = "poco_sync") -> None:

@@ -319,6 +319,7 @@ class ExportedPoco:
             osp.join(path, SMPL_NAME), self.meta.get("smpl_bf16_keys", {})
         ))
         self._calls: dict[int, Any] = {}
+        self._warm: set[int] = set()
         self._resident = False
         self._mesh_cache = None
 
@@ -396,6 +397,26 @@ class ExportedPoco:
             jax.block_until_ready(
                 self._call_for(b)(self.variables, self.smpl_arrays, batch)
             )
+            self._warm.add(b)
+
+    def buckets_for(self, n: int) -> list[int]:
+        """Bucket sequence a size-n request dispatches to (chunking rule)."""
+        largest = self.batch_sizes[-1]
+        return [
+            next(
+                (b for b in self.batch_sizes if b >= min(largest, n - s)),
+                largest,
+            )
+            for s in range(0, n, largest)
+        ]
+
+    def is_warm(self, n: int) -> bool:
+        """True when every program a size-n dispatch needs has already
+        run once (deserialize + jit compile + weight upload done) — i.e.
+        dispatching now returns quickly instead of stalling the caller
+        on a synchronous compile. Serving uses this to decide whether to
+        flush a completed wave before dispatching the next one."""
+        return all(b in self._warm for b in self.buckets_for(n))
 
     def _key_shape(self, key: str) -> tuple[int, ...]:
         res = self.meta["model_cfg"]["img_res"]
@@ -457,6 +478,7 @@ class ExportedPoco:
             out = self._call_for(bucket)(
                 self.variables, self.smpl_arrays, chunk
             )
+            self._warm.add(bucket)
             chunks.append((out, m))
         return PendingPrediction(chunks)
 

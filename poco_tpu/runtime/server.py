@@ -174,6 +174,17 @@ class MicroBatcher:
                     break
                 items.append(nxt)
                 rows += nxt["n"]
+            # A cold bucket compiles/deserializes SYNCHRONOUSLY inside
+            # the dispatch call — don't hold wave N's already-computed
+            # responses hostage to it: flush N first.
+            is_warm = getattr(self.model, "is_warm", None)
+            if (
+                prev is not None
+                and is_warm is not None
+                and not is_warm(rows)
+            ):
+                self._finalize(*prev)
+                prev = None
             pending = None
             try:
                 if len(items) == 1:

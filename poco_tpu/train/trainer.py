@@ -352,18 +352,62 @@ class Trainer:
         Collective when multi-process — every process must call it at
         the same point; all of them receive the full value.
         """
-        if self.n_procs == 1:
-            return np.asarray(arr)
-        from jax.experimental import multihost_utils
+        return np.asarray(dist.allgather(arr))
 
-        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    def _fetch_head(self, arr, n: int) -> np.ndarray:
+        """Fetch only the first `n` rows of a global batch array.
+
+        Multi-process: slicing on device and replicating the tiny
+        result moves n rows over DCN instead of the whole global batch
+        (SAVE_IMAGES renders 4 rows; gathering batch x 224 x 224 x 3
+        to every host to keep 4 is pure waste). Collective.
+        """
+        if self.n_procs == 1:
+            return np.asarray(arr[:n])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        small = jax.jit(
+            lambda x: x[:n], out_shardings=repl
+        )(arr)
+        return np.asarray(small)
+
+    def _cond_mask(self, host_batch: dict) -> np.ndarray:
+        """GT-pose-conditioning row mask (reference poco_head.py:101-107).
+
+        The selection is a property of the GLOBAL batch ("first ratio
+        fraction of the cond-dataset rows"); computing it per loader
+        shard would condition a different row set (and count) than a
+        single-process run. Multi-process loaders therefore attach the
+        global per-row dataset names ('_global_row_names', see
+        DataLoader/get_batch keep=), from which every process computes
+        the same global mask and keeps its shard's slice.
+        """
+        p = self.hparams.POCO
+        if self.n_procs == 1:
+            return select_gt_pose_cond(
+                host_batch.get("dataset_name", []),
+                p.GT_POSE_COND_DS, p.GT_POSE_COND_RATIO,
+            )
+        gnames = host_batch.get("_global_row_names")
+        if gnames is None:
+            raise RuntimeError(
+                "GT_POSE_COND with multi-process training needs the "
+                "loader's global row names ('_global_row_names'); use a "
+                "dataset whose get_batch supports keep= (PocoDataset / "
+                "RatioMixedDataset) or disable POCO.GT_POSE_COND"
+            )
+        gmask = select_gt_pose_cond(
+            gnames, p.GT_POSE_COND_DS, p.GT_POSE_COND_RATIO
+        )
+        lo, hi = dist.local_shard_bounds(len(gnames))
+        return gmask[lo:hi]
 
     def _device_batch(self, host_batch: dict) -> dict:
         p = self.hparams.POCO
-        cond_mask = select_gt_pose_cond(
-            host_batch.get("dataset_name", []),
-            p.GT_POSE_COND_DS, p.GT_POSE_COND_RATIO,
-        ) if (self.hparams.METHOD == "poco" and p.GT_POSE_COND) else None
+        cond_mask = self._cond_mask(host_batch) if (
+            self.hparams.METHOD == "poco" and p.GT_POSE_COND
+        ) else None
 
         batch = {
             k: v for k, v in host_batch.items() if not isinstance(v, list)
@@ -458,10 +502,13 @@ class Trainer:
                         self.hparams.TRAINING.get("SAVE_IMAGES")
                         and viz is not None
                     ):
-                        imgs = self._fetch(batch["img"])[:4]
-                        pred_verts = self._fetch(viz["pred_verts"])
-                        pred_cam = self._fetch(viz["pred_cam"])
-                        gt_verts = self._fetch(viz["gt_verts"])
+                        n_viz = 4
+                        imgs = self._fetch_head(batch["img"], n_viz)
+                        pred_verts = self._fetch_head(
+                            viz["pred_verts"], n_viz
+                        )
+                        pred_cam = self._fetch_head(viz["pred_cam"], n_viz)
+                        gt_verts = self._fetch_head(viz["gt_verts"], n_viz)
                         if self.is_main:
                             from ..viz.train_viz import (
                                 render_training_grid,
@@ -759,4 +806,10 @@ class Trainer:
             if (epoch + 1) % check_every == 0:
                 summary = self.validate(epoch)
             self.save_checkpoint("last")
+        # Leave fit together: no process returns (and e.g. starts
+        # reading checkpoints, or exits tearing down the coordinator)
+        # while rank 0 is still writing (reference synchronize,
+        # train_utils.py:173-184).
+        if self.n_procs > 1:
+            dist.barrier("poco_fit_end")
         return summary

@@ -65,6 +65,17 @@ def main() -> None:
     hparams.DATASET.BATCH_SIZE = 8
     hparams.TRAINING.MAX_EPOCHS = 1
     hparams.TRAINING.LOG_SAVE_INTERVAL = 1
+    # Exercise the GLOBAL GT-pose-conditioning mask: with cond rows in
+    # the batch (the smoke dataset is named 'smoke') the conditioned row
+    # SET must be a property of the global batch — a per-shard selection
+    # would pick int(0.5*4)=2 leading rows of EACH shard instead of the
+    # 4 leading global rows, and the loss equality below would fail.
+    hparams.POCO.GT_POSE_COND = True
+    hparams.POCO.GT_POSE_COND_DS = "smoke"
+    hparams.POCO.GT_POSE_COND_RATIO = 0.5
+    # Exercise the collective head-sliced viz gather (_fetch_head) in
+    # both topologies (rank 0 renders, every process participates).
+    hparams.TRAINING.SAVE_IMAGES = True
 
     options = {"IMG_RES": hparams.DATASET.IMG_RES}
     npz_train = os.path.join(

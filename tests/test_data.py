@@ -213,6 +213,124 @@ class TestMixed:
         np.testing.assert_allclose(sum(part), 1.0, atol=1e-9)
 
 
+class TestShardedKeep:
+    """get_batch(global, keep=shard) — the multi-process loader contract:
+    per-row randomness is consumed for the WHOLE global batch, so
+    sharded loading reproduces single-process rows exactly (and shards
+    don't draw correlated augmentations from identical RNG states)."""
+
+    def _mk(self, tiny_dataset, seed=5):
+        npz, root = tiny_dataset
+        return PocoDataset(
+            npz, img_dir=root, dataset_name="tiny", is_train=True,
+            use_augmentation=True, options={"IMG_RES": 64}, seed=seed,
+        )
+
+    def test_keep_matches_full_batch_rows(self, tiny_dataset):
+        idx = [0, 1, 2, 3, 4, 5]
+        full = self._mk(tiny_dataset).get_batch(idx)
+        lo = self._mk(tiny_dataset).get_batch(idx, keep=slice(0, 3))
+        hi = self._mk(tiny_dataset).get_batch(idx, keep=slice(3, 6))
+        assert lo["_global_row_names"] == ["tiny"] * 6
+        assert hi["_global_row_names"] == ["tiny"] * 6
+        for k in ("img", "pose", "keypoints", "is_flipped", "rot_angle"):
+            np.testing.assert_array_equal(
+                np.concatenate([lo[k], hi[k]]), full[k], err_msg=k
+            )
+        assert lo["imgname"] + hi["imgname"] == full["imgname"]
+
+    def test_keep_empty_consumes_rng(self, tiny_dataset):
+        """A shard with no kept rows still advances the RNG stream."""
+        ds = self._mk(tiny_dataset)
+        out = ds.get_batch([0, 1, 2], keep=[])
+        assert list(out) == ["_global_row_names"]
+        # next draw must match a fresh dataset that materialized them
+        nxt = ds.get_batch([3], keep=[0])
+        ref_ds = self._mk(tiny_dataset)
+        ref_ds.get_batch([0, 1, 2])
+        ref = ref_ds.get_batch([3])
+        np.testing.assert_array_equal(nxt["img"], ref["img"])
+
+    def test_sharded_loader_matches_single(self, tiny_dataset):
+        """DataLoader shards reassemble to the single-process batch,
+        augmentation ON."""
+        single = next(iter(DataLoader(
+            self._mk(tiny_dataset, seed=9), 6, shuffle=True, seed=11,
+        )))
+        shards = [
+            next(iter(DataLoader(
+                self._mk(tiny_dataset, seed=9), 6, shuffle=True, seed=11,
+                num_shards=2, shard_index=i,
+            )))
+            for i in range(2)
+        ]
+        assert shards[0]["_global_row_names"] == ["tiny"] * 6
+        for k in ("img", "pose", "is_flipped"):
+            np.testing.assert_array_equal(
+                np.concatenate([s[k] for s in shards]), single[k],
+                err_msg=k,
+            )
+
+    def test_mixed_keep_global_picks(self):
+        """Dataset picks are drawn over the GLOBAL batch: two shard
+        'processes' (separate instances, same seed) agree on the global
+        composition, which equals the unsharded one."""
+
+        class _Stub:
+            def __init__(self, tag, n):
+                self.dataset_name, self.n = tag, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {"x": np.float32(i), "tag": self.dataset_name}
+
+        def mk():
+            return RatioMixedDataset(
+                [_Stub("a", 5), _Stub("b", 3)], [0.5, 0.5], seed=3
+            )
+
+        idx = [0, 1, 2, 3, 6, 7]
+        full = mk().get_batch(idx)
+        sh0 = mk().get_batch(idx, keep=slice(0, 3))
+        sh1 = mk().get_batch(idx, keep=slice(3, 6))
+        assert sh0["_global_row_names"] == sh1["_global_row_names"]
+        assert sh0["_global_row_names"] == list(full["tag"])
+        assert list(sh0["tag"]) + list(sh1["tag"]) == list(full["tag"])
+        assert list(sh0["x"]) + list(sh1["x"]) == list(full["x"])
+
+    def test_mixed_forwards_keep_to_members(self):
+        """A member supporting keep= gets its FULL global share plus the
+        kept ranks, so its per-row RNG stream is consumed globally."""
+        calls = []
+
+        class _Fast:
+            dataset_name = "f"
+
+            def __len__(self):
+                return 10
+
+            def get_batch(self, local, keep=None):
+                calls.append((list(local), keep))
+                kept = (
+                    list(range(len(local)))[keep]
+                    if isinstance(keep, slice)
+                    else [int(k) for k in (keep if keep is not None
+                                           else range(len(local)))]
+                )
+                out = collate([{"x": np.float32(local[k])} for k in kept])
+                if keep is not None:
+                    out["_global_row_names"] = ["f"] * len(local)
+                return out
+
+        ds = RatioMixedDataset([_Fast()], [1.0], seed=0)
+        batch = ds.get_batch([4, 5, 6, 7], keep=slice(1, 3))
+        assert calls == [([4, 5, 6, 7], [1, 2])]
+        assert list(batch["x"]) == [5.0, 6.0]
+        assert batch["_global_row_names"] == ["f"] * 4
+
+
 class TestOcclusion:
     def test_paste_over_blends(self):
         dst = np.zeros((20, 20, 3), np.float32)

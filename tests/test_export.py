@@ -186,6 +186,27 @@ class TestExportRoundtrip:
                 batch_sizes=(6,), data_parallel=8,
             )
 
+    def test_buckets_for_and_warm_tracking(self, artifact):
+        """is_warm drives the serving loop's flush-before-cold-dispatch
+        rule: a cold bucket's synchronous compile must not delay a
+        completed wave's responses."""
+        loaded = load_exported(artifact)  # buckets (2, 4)
+        assert loaded.buckets_for(1) == [2]
+        assert loaded.buckets_for(3) == [4]
+        assert loaded.buckets_for(4) == [4]
+        assert loaded.buckets_for(5) == [4, 2]
+        assert loaded.buckets_for(9) == [4, 4, 2]
+        assert not loaded.is_warm(1)
+        batch = {
+            k: np.zeros((1,) + loaded._key_shape(k), loaded._key_dtype(k))
+            for k in loaded.batch_keys
+        }
+        loaded.predict(batch)       # runs bucket 2
+        assert loaded.is_warm(1) and loaded.is_warm(2)
+        assert not loaded.is_warm(3)  # bucket 4 still cold
+        loaded.warmup()
+        assert loaded.is_warm(9)
+
     def test_missing_key_raises(self, artifact):
         loaded = load_exported(artifact)
         with pytest.raises(KeyError):

@@ -91,6 +91,23 @@ def _run_pair(outdir: str, data_dir: str) -> dict:
         return json.load(f)
 
 
+def test_partial_topology_env_fails_fast(monkeypatch):
+    """A launcher that loses POCO_COORDINATOR/POCO_NUM_PROCESSES but
+    keeps POCO_PROCESS_ID must NOT fall back to independent
+    single-process runs (every host would believe it is rank 0)."""
+    from poco_tpu.parallel import distributed as dist
+
+    monkeypatch.delenv("POCO_COORDINATOR", raising=False)
+    monkeypatch.delenv("POCO_NUM_PROCESSES", raising=False)
+    monkeypatch.setenv("POCO_PROCESS_ID", "1")
+    with pytest.raises(ValueError, match="POCO_PROCESS_ID is set"):
+        dist.maybe_initialize()
+    # coordinator+id without num_processes: incomplete, also fatal
+    monkeypatch.setenv("POCO_COORDINATOR", "host0:7701")
+    with pytest.raises(ValueError, match="incomplete"):
+        dist.maybe_initialize()
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single(smoke_data, tmp_path):
     single = _run_single(str(tmp_path / "single"), smoke_data)

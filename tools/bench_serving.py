@@ -103,7 +103,10 @@ def run_combo(
         raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
 
     lat = np.sort(np.concatenate([np.asarray(c) for c in latencies]))
-    total_reqs = n_clients * requests_per_client
+    # measured, not intended: a client that errored out mid-run sent
+    # fewer requests, and the coalescence ratio must use what the
+    # batcher actually received
+    total_reqs = batcher.request_count - req0
     dispatches = batcher.dispatch_count - disp0
     return {
         "clients": n_clients,

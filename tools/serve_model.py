@@ -56,6 +56,13 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    # Honor POCO_TPU_PLATFORM (the repo-wide TPU opt-out — the bundled
+    # TPU plugin ignores JAX_PLATFORMS) and the persistent compile
+    # cache, like every other CLI entry point.
+    from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from poco_tpu.runtime.server import PocoServer
 
     server = PocoServer(args.artifact, host=args.host, port=args.port,
