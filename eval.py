@@ -121,10 +121,14 @@ def main():
     report = pw3d_split_report(
         result.imgnames, result.mpjpe_mm, result.pa_mpjpe_mm, result.v2v_mm
     )
+    payload = {"summary": summary, "splits": report}
+    per_joint = result.per_joint_stats()
+    if per_joint is not None:
+        payload["per_joint"] = per_joint
     print(json.dumps({"summary": summary, "splits": report}, indent=1))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"summary": summary, "splits": report}, f, indent=1)
+            json.dump(payload, f, indent=1)
 
 
 def load_checkpoint_into(variables, ckpt_path: str, model_cfg,
@@ -149,13 +153,14 @@ def load_checkpoint_into(variables, ckpt_path: str, model_cfg,
         except FileNotFoundError:
             pass
     if os.path.isdir(ckpt_path):
-        import orbax.checkpoint as ocp
+        from poco_tpu.utils.checkpoint_convert import restore_checkpoint_tree
 
-        ckptr = ocp.StandardCheckpointer()
         # Template-free restore: checkpoints may carry extra entries
         # (step, opt_state, rng from the complete-resume payload) that a
         # fixed template would reject with a tree-structure mismatch.
-        restored = ckptr.restore(os.path.abspath(ckpt_path))
+        # Topology-tolerant: a pod-trained checkpoint must load on one
+        # chip (restore_checkpoint_tree falls back to host numpy).
+        restored = restore_checkpoint_tree(ckpt_path)
         out = dict(variables)
         for k in ("params", "batch_stats", "buffers"):
             if restored.get(k) is not None:

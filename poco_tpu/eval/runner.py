@@ -166,6 +166,43 @@ class EvalResult:
             )
         return s
 
+    def per_joint_stats(self) -> dict | None:
+        """Across-joint calibration diagnostics for the eval report.
+
+        Per joint: mean prepared sigma and mean rotation distance (the
+        two vectors whose flattened Pearson is `uncert_pose_corr`), plus
+        each vector's across-joint coefficient of variation (std/mean).
+        The CoV of the residuals is the heterogeneity the per-joint
+        correlation has to rank — when it collapses (every joint equally
+        wrong), a falling Pearson reflects a vanishing signal, not a
+        worse sigma head. Mirrors the per-joint quantities the reference
+        tracks in POCOUtils (pocolib/utils/poco_utils.py:97-294), in the
+        eval report instead of TensorBoard histograms.
+        """
+        if (
+            self.uncert is None
+            or self.pose_dist is None
+            or self.uncert.shape != self.pose_dist.shape
+        ):
+            return None
+        from ..constants import SMPL_JOINT_NAMES
+
+        sig = self.uncert.mean(axis=0)
+        err = self.pose_dist.mean(axis=0)
+        names = list(SMPL_JOINT_NAMES[: sig.shape[0]])
+
+        def _cov(v: np.ndarray) -> float:
+            m = float(v.mean())
+            return float(v.std() / m) if m > 0 else float("nan")
+
+        return {
+            "joint_names": names,
+            "sigma_mean": [round(float(x), 5) for x in sig],
+            "pose_dist_mean": [round(float(x), 6) for x in err],
+            "sigma_cov": round(_cov(sig), 4),
+            "pose_dist_cov": round(_cov(err), 4),
+        }
+
 
 def run_eval(
     model,

@@ -186,13 +186,13 @@ class Trainer:
 
     def _load_pretrained(self, variables: dict, path: str) -> dict:
         if os.path.isdir(path):
-            import orbax.checkpoint as ocp
+            from ..utils.checkpoint_convert import restore_checkpoint_tree
 
             # Template-free restore: warm starts must tolerate payload
             # layout differences across versions (e.g. checkpoints that
-            # do or don't carry opt_state).
-            ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(os.path.abspath(path))
+            # do or don't carry opt_state) AND topology changes (a
+            # pod-trained warm start on one chip, or vice versa).
+            restored = restore_checkpoint_tree(path)
             out = dict(variables)
             for key in ("params", "batch_stats", "buffers"):
                 if restored.get(key) is not None:
@@ -713,9 +713,12 @@ class Trainer:
         # fixed template would reject either direction with a
         # tree-structure mismatch; merging into the freshly-initialized
         # state keeps defaults for anything the checkpoint doesn't
-        # carry.
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path)
+        # carry. Topology-tolerant: resuming on a different device
+        # count than the run that wrote the checkpoint restores as host
+        # numpy and re-places below.
+        from ..utils.checkpoint_convert import restore_checkpoint_tree
+
+        restored = restore_checkpoint_tree(path)
 
         from collections.abc import Mapping
 

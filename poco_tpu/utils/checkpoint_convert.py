@@ -456,6 +456,40 @@ def get_model_path(logdir: str, inf_model: str = "best") -> str:
     return ckpts[-1]
 
 
+def restore_checkpoint_tree(path: str):
+    """Template-free orbax restore that survives topology changes.
+
+    `StandardCheckpointer().restore(path)` replays the SAVED shardings,
+    so a checkpoint written on an 8-device mesh refuses to load on a
+    single chip ("available devices are different from the devices used
+    to save") — breaking the train-on-pod, eval/demo-on-one-chip
+    workflow the reference supports trivially via torch.load
+    (train_utils.py:126-136 loads any .pt anywhere). Fast path first
+    (same topology: arrays land directly on their saved devices); on the
+    topology-mismatch ValueError, re-restore every leaf as host numpy
+    via per-leaf RestoreArgs — consumers re-place on device themselves
+    (jit sharding / jnp.asarray / device_put).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        return ckptr.restore(path)
+    except ValueError:
+        import jax
+
+        item = ckptr.metadata(path).item_metadata
+        leaves, treedef = jax.tree_util.tree_flatten(item)
+        restore_args = jax.tree_util.tree_unflatten(
+            treedef,
+            [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves),
+        )
+        return ckptr.restore(path, restore_args=restore_args)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Read a torch checkpoint file into a flat state_dict
     (unwraps 'model' / 'state_dict' nesting, poco.py:134-136)."""

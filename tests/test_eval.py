@@ -134,6 +134,45 @@ class TestUncertainty:
         np.testing.assert_allclose(g[0], 0.2, atol=1e-6)
 
 
+class TestPerJointStats:
+    def _result(self, uncert, pose_dist):
+        from poco_tpu.eval.runner import EvalResult
+
+        n = 6
+        return EvalResult(
+            imgnames=[f"s/{i}.jpg" for i in range(n)],
+            mpjpe_mm=np.full(n, 50.0),
+            pa_mpjpe_mm=np.full(n, 30.0),
+            v2v_mm=np.full(n, 60.0),
+            uncert=uncert,
+            pose_dist=pose_dist,
+        )
+
+    def test_cov_and_names(self):
+        rng = np.random.RandomState(0)
+        uncert = rng.uniform(0.4, 0.9, (6, 24)).astype(np.float32)
+        pose_dist = rng.uniform(0.0, 0.1, (6, 24)).astype(np.float32)
+        pj = self._result(uncert, pose_dist).per_joint_stats()
+        assert pj is not None
+        assert pj["joint_names"][0] == "pelvis"
+        assert len(pj["sigma_mean"]) == 24
+        sig = uncert.mean(axis=0)
+        np.testing.assert_allclose(
+            pj["sigma_cov"], sig.std() / sig.mean(), atol=1e-3
+        )
+        # homogeneous residuals -> CoV ~ 0 (the decay-adjudication signal)
+        pj0 = self._result(
+            uncert, np.full((6, 24), 0.05, np.float32)
+        ).per_joint_stats()
+        assert pj0["pose_dist_cov"] < 1e-6
+
+    def test_none_when_unavailable_or_mismatched(self):
+        uncert = np.ones((6, 21), np.float32)  # excluded joints
+        pose_dist = np.ones((6, 24), np.float32)
+        assert self._result(uncert, pose_dist).per_joint_stats() is None
+        assert self._result(None, None).per_joint_stats() is None
+
+
 class TestEvalRunner:
     @pytest.fixture(scope="class")
     def tiny_eval_dataset(self, tmp_path_factory):
