@@ -125,7 +125,7 @@ def main():
     per_joint = result.per_joint_stats()
     if per_joint is not None:
         payload["per_joint"] = per_joint
-    print(json.dumps({"summary": summary, "splits": report}, indent=1))
+    print(json.dumps(payload, indent=1))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)

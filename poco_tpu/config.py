@@ -334,12 +334,18 @@ def get_grid_search_configs(
 
 
 def run_grid_search_experiments(
-    cfg_file: str, cfg_id: int = 0, log: bool = True
+    cfg_file: str, cfg_id: int = 0, log: bool = True,
+    logdir: str | None = None,
 ) -> CfgNode:
     """Select one experiment from the matrix and set up its logdir.
 
     Reference: config.py:312-400 minus the HTCondor hand-off (see
     poco_tpu.utils.cluster for the launcher equivalent).
+
+    ``logdir`` pins the run to an exact directory instead of minting a
+    timestamped one — the resume contract (a killed run restarted with
+    --resume must keep appending to the SAME logdir so checkpoints,
+    val_accuracy.json and metrics.jsonl form one trajectory).
     """
     with open(cfg_file) as f:
         cfg = yaml.safe_load(f)
@@ -347,10 +353,7 @@ def run_grid_search_experiments(
     experiments, axes = get_grid_search_configs(cfg)
     config = update_hparams_from_dict(experiments[cfg_id])
 
-    logtime = time.strftime("%d-%m-%Y_%H-%M-%S")
-    logdir = f"{config.EXP_NAME}_ID{cfg_id:02d}_{logtime}"
     config.EXP_ID += f"{config.EXP_NAME}_ID{cfg_id:02d}"
-
     exp_id = ""
     for axis in axes:
         node: Any = experiments[cfg_id]
@@ -358,12 +361,18 @@ def run_grid_search_experiments(
             node = node[part]
         exp_id += f'{axis.replace("/", ".").replace("_", "").lower()}-{node}'
     if exp_id:
-        logdir += f"_{exp_id}"
         config.EXP_ID += f"/{exp_id}"
 
-    logdir = os.path.join(
-        config.LOG_DIR, config.METHOD, config.EXP_NAME, logdir
-    )
+    if logdir is not None:
+        logdir = os.path.abspath(logdir)
+    else:
+        logtime = time.strftime("%d-%m-%Y_%H-%M-%S")
+        name = f"{config.EXP_NAME}_ID{cfg_id:02d}_{logtime}"
+        if exp_id:
+            name += f"_{exp_id}"
+        logdir = os.path.join(
+            config.LOG_DIR, config.METHOD, config.EXP_NAME, name
+        )
     if log:
         os.makedirs(logdir, exist_ok=True)
         with open(os.path.join(logdir, "config_to_run.yaml"), "w") as f:

@@ -82,6 +82,12 @@ def main():
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint path")
     parser.add_argument(
+        "--logdir", default=None,
+        help="pin the run to this exact logdir (no timestamp minting) — "
+             "pairs with --resume so a restarted run keeps appending to "
+             "the same trajectory",
+    )
+    parser.add_argument(
         "--pretrained", default=None,
         help="warm-start weights (orbax dir or torch .pt) — overrides "
              "TRAINING.PRETRAINED; unlike --resume, epoch counters and "
@@ -123,7 +129,9 @@ def main():
     from poco_tpu.train.trainer import Trainer
     from poco_tpu.utils.os_utils import copy_code
 
-    hparams = run_grid_search_experiments(args.cfg, args.cfg_id)
+    hparams = run_grid_search_experiments(
+        args.cfg, args.cfg_id, logdir=args.logdir
+    )
     if args.data_dir:
         hparams.DATASET.DATA_DIR = args.data_dir
     if args.pretrained:
