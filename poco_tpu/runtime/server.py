@@ -105,6 +105,17 @@ def prepare_request_batch(
     return batch
 
 
+class OverloadedError(RuntimeError):
+    """Raised by MicroBatcher.submit when the pending-row budget is
+    exhausted — the request is shed in microseconds instead of queueing
+    toward an eventual timeout. Carries a Retry-After estimate derived
+    from the backlog and the measured dispatch rate."""
+
+    def __init__(self, msg: str, retry_after_s: float):
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
+
+
 class MicroBatcher:
     """Coalesce concurrent requests into one device batch.
 
@@ -116,22 +127,70 @@ class MicroBatcher:
     back to the waiting handler threads. Per-sample outputs are
     batchmate-independent (inference-mode BN uses running stats), so
     batching is invisible to clients.
+
+    Backpressure: admission is bounded by ROWS (crops), not requests —
+    a 16-crop request costs 16x a 1-crop one. `max_pending_rows`
+    defaults to `queue_budget_waves` full waves of the largest bucket,
+    i.e. the worst-case queueing delay is ~queue_budget_waves dispatch
+    latencies; beyond that, submit() sheds instantly with
+    OverloadedError instead of letting every queued client time out at
+    p99=timeout (the failure mode a 600 s unbounded queue produces).
     """
 
-    def __init__(self, model: ExportedPoco, window_ms: float = 5.0):
+    def __init__(self, model: ExportedPoco, window_ms: float = 5.0,
+                 max_pending_rows: int | None = None,
+                 queue_budget_waves: int = 12):
         self.model = model
         self.window = window_ms / 1000.0
         self.max_rows = model.batch_sizes[-1]
+        self.max_pending_rows = (
+            max_pending_rows
+            if max_pending_rows is not None
+            else queue_budget_waves * self.max_rows
+        )
         self._queue: queue.Queue = queue.Queue()
         self.request_count = 0
         self.dispatch_count = 0
+        self.rejected_count = 0
+        self._pending_rows = 0
+        self._pending_lock = threading.Lock()
+        # Smoothed device throughput (rows/s) for Retry-After estimates;
+        # seeded pessimistically so a cold server suggests a real wait.
+        self._rows_per_s = 100.0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    @property
+    def pending_rows(self) -> int:
+        return self._pending_rows
+
+    def overloaded_precheck(self) -> float | None:
+        """Cheap pre-admission probe: if the budget is already full,
+        return a Retry-After estimate (else None). Lets the HTTP layer
+        shed BEFORE reading a multi-MB request body — the rejected
+        client pays connect+headers, not upload+parse."""
+        with self._pending_lock:
+            if self._pending_rows >= self.max_pending_rows:
+                self.rejected_count += 1
+                return min(
+                    60.0, max(1.0, self._pending_rows / self._rows_per_s)
+                )
+        return None
+
     def submit(self, batch: dict[str, np.ndarray],
                timeout: float = 600.0) -> dict[str, np.ndarray]:
         n = int(np.shape(batch[next(iter(batch))])[0])
+        with self._pending_lock:
+            if self._pending_rows + n > self.max_pending_rows:
+                self.rejected_count += 1
+                backlog = self._pending_rows
+                retry = min(60.0, max(1.0, backlog / self._rows_per_s))
+                raise OverloadedError(
+                    f"server overloaded: {backlog} crops pending "
+                    f"(budget {self.max_pending_rows})", retry,
+                )
+            self._pending_rows += n
         item = {"batch": batch, "n": n,
                 "event": threading.Event(), "out": None, "err": None}
         self.request_count += 1
@@ -206,19 +265,24 @@ class MicroBatcher:
             except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
                 for it in items:
                     it["err"] = e
-                    it["event"].set()
+                self._complete(items)
             if prev is not None:
                 self._finalize(*prev)
                 prev = None
             if pending is not None:
-                prev = (items, pending)
+                prev = (items, pending, time.monotonic(), rows)
         if prev is not None:
             self._finalize(*prev)
 
-    def _finalize(self, items: list, pending) -> None:
+    def _finalize(self, items: list, pending, t_dispatch: float = 0.0,
+                  rows: int = 0) -> None:
         """Fetch a dispatched wave's outputs and wake its waiters."""
         try:
             out = pending.result()
+            if rows and t_dispatch:
+                dt = max(time.monotonic() - t_dispatch, 1e-6)
+                # EMA of device throughput feeding Retry-After estimates
+                self._rows_per_s = 0.7 * self._rows_per_s + 0.3 * (rows / dt)
             offset = 0
             for it in items:
                 it["out"] = {
@@ -228,6 +292,13 @@ class MicroBatcher:
         except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
             for it in items:
                 it["err"] = e
+        self._complete(items)
+
+    def _complete(self, items: list) -> None:
+        """Return admitted rows to the budget and wake the waiters."""
+        freed = sum(it["n"] for it in items)
+        with self._pending_lock:
+            self._pending_rows -= freed
         for it in items:
             it["event"].set()
 
@@ -282,13 +353,38 @@ class _Handler(BaseHTTPRequestHandler):
                 "model": m.meta["model_cfg"]["backbone"],
                 "requests": b.request_count,
                 "dispatches": b.dispatch_count,
+                "rejected": b.rejected_count,
+                "pending_rows": b.pending_rows,
+                "max_pending_rows": b.max_pending_rows,
             })
         else:
             self._send_json(404, {"error": f"no route {self.path}"})
 
+    def _send_429(self, retry_after_s: float, msg: str) -> None:
+        body = json.dumps({"error": msg}).encode()
+        try:
+            self.send_response(429)
+            self.send_header("Retry-After", str(int(round(retry_after_s))))
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
     def do_POST(self):
         if self.path != "/predict":
             self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        batcher = self.server.batcher  # type: ignore[attr-defined]
+        retry = batcher.overloaded_precheck()
+        if retry is not None:
+            # Shed BEFORE reading the body: the request is doomed anyway
+            # and its (multi-MB) upload would cost the host memory and
+            # the client milliseconds-vs-seconds. The connection must
+            # close (the unread body is still in the pipe).
+            self.close_connection = True
+            self._send_429(retry, "server overloaded: admission budget full")
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
@@ -300,6 +396,13 @@ class _Handler(BaseHTTPRequestHandler):
                 prepare_request_batch(model, arrays)
             )
             self._send(200, _npz_bytes(out), "application/octet-stream")
+        except OverloadedError as e:
+            # Shed early and cheaply: the client learns in milliseconds
+            # (with a backlog-derived Retry-After) instead of queueing
+            # toward the 600 s submit timeout. (The pre-read probe above
+            # catches a full budget; this path catches a request whose
+            # row count would overflow a non-full one.)
+            self._send_429(e.retry_after_s, str(e))
         except (KeyError, ValueError) as e:
             self._send_json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — serving must not die
@@ -311,6 +414,48 @@ class _Server(ThreadingHTTPServer):
     # connection-reset before a single request is read (measured; see
     # BENCHMARKS.md "Serving under load").
     request_queue_size = 128
+
+    # In-flight handler-thread cap: ThreadingHTTPServer otherwise spawns
+    # one thread per accepted connection without bound, so a client
+    # flood grows host memory with the flood. Connections beyond the cap
+    # are refused AT ACCEPT with a raw 503 — no thread, no body read,
+    # constant cost per refusal.
+    max_handler_threads = 128
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._handler_slots = threading.BoundedSemaphore(
+            self.max_handler_threads
+        )
+        self.refused_count = 0
+
+    def process_request(self, request, client_address):
+        if not self._handler_slots.acquire(blocking=False):
+            self.refused_count += 1
+            body = b'{"error": "too many in-flight connections"}'
+            try:
+                request.sendall(
+                    b"HTTP/1.1 503 Service Unavailable\r\n"
+                    b"Retry-After: 1\r\n"
+                    b"Content-Type: application/json\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+                    b"Connection: close\r\n\r\n" + body
+                )
+            except OSError:
+                pass
+            self.shutdown_request(request)
+            return
+        try:
+            super().process_request(request, client_address)
+        except BaseException:
+            self._handler_slots.release()
+            raise
+
+    def process_request_thread(self, request, client_address):
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            self._handler_slots.release()
 
 
 class PocoServer:
@@ -324,13 +469,24 @@ class PocoServer:
 
     def __init__(self, artifact: str | ExportedPoco,
                  host: str = "127.0.0.1", port: int = 0,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0,
+                 max_pending_rows: int | None = None,
+                 max_handler_threads: int | None = None):
         self.model = (
             artifact if isinstance(artifact, ExportedPoco)
             else load_exported(artifact)
         )
-        self.batcher = MicroBatcher(self.model, window_ms=batch_window_ms)
-        self.httpd = _Server((host, port), _Handler)
+        self.batcher = MicroBatcher(
+            self.model, window_ms=batch_window_ms,
+            max_pending_rows=max_pending_rows,
+        )
+        server_cls = _Server
+        if max_handler_threads is not None:
+            server_cls = type(
+                "_Server", (_Server,),
+                {"max_handler_threads": int(max_handler_threads)},
+            )
+        self.httpd = server_cls((host, port), _Handler)
         self.httpd.model = self.model  # type: ignore[attr-defined]
         self.httpd.batcher = self.batcher  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None

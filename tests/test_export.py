@@ -528,3 +528,113 @@ class TestServer:
                 )
         finally:
             loaded.uint8_input = False
+
+
+class TestBackpressure:
+    """Overload behavior (runtime/server.py): shed early with 429/503
+    instead of queueing every client toward the 600 s submit timeout.
+    The surface this hardens replaces the reference's per-process demo
+    runtime (/root/reference/pocolib/core/tester.py:55-111), which has
+    no concurrent-request story at all."""
+
+    def test_micro_batcher_sheds_over_budget_and_recovers(self):
+        import threading
+        import time
+
+        from poco_tpu.runtime.server import MicroBatcher, OverloadedError
+
+        release = threading.Event()
+
+        class SlowModel:
+            batch_sizes = [4]
+
+            def predict(self, batch):
+                release.wait(timeout=30)
+                return {"y": np.asarray(batch["x"])}
+
+        mb = MicroBatcher(SlowModel(), window_ms=1.0, max_pending_rows=2)
+        try:
+            done = []
+
+            def worker():
+                done.append(mb.submit({"x": np.zeros((2, 1), np.float32)}))
+
+            t = threading.Thread(target=worker)
+            t.start()
+            deadline = time.time() + 10
+            while mb.pending_rows < 2 and time.time() < deadline:
+                time.sleep(0.005)
+            assert mb.pending_rows == 2
+
+            t0 = time.perf_counter()
+            with pytest.raises(OverloadedError) as ei:
+                mb.submit({"x": np.zeros((1, 1), np.float32)})
+            # shed in milliseconds, not after a queue timeout
+            assert time.perf_counter() - t0 < 1.0
+            assert ei.value.retry_after_s >= 1.0
+            assert mb.rejected_count == 1
+
+            release.set()
+            t.join(timeout=30)
+            assert len(done) == 1
+            # budget returned: admitted again
+            out = mb.submit({"x": np.ones((1, 1), np.float32)})
+            np.testing.assert_allclose(out["y"], np.ones((1, 1)))
+            assert mb.pending_rows == 0
+        finally:
+            release.set()
+            mb.stop()
+
+    def test_http_429_when_overloaded(self, artifact):
+        import urllib.error
+
+        from poco_tpu.runtime.server import PocoServer
+
+        server = PocoServer(artifact, port=0, max_pending_rows=0)
+        server.start(warmup=False)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            buf = io.BytesIO()
+            np.savez(buf, img=np.zeros((1, 224, 224, 3), np.float32))
+            req = urllib.request.Request(
+                f"{base}/predict", data=buf.getvalue(), method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 429
+            assert int(ei.value.headers["Retry-After"]) >= 1
+            health = json.loads(
+                urllib.request.urlopen(f"{base}/healthz", timeout=30).read()
+            )
+            assert health["rejected"] == 1
+            assert health["max_pending_rows"] == 0
+        finally:
+            server.stop()
+
+    def test_http_503_at_handler_cap(self, artifact):
+        import urllib.error
+
+        from poco_tpu.runtime.server import PocoServer
+
+        server = PocoServer(artifact, port=0, max_handler_threads=1)
+        server.start(warmup=False)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            # Deterministic stand-in for a slow in-flight connection:
+            # hold the single handler slot while a request arrives.
+            assert server.httpd._handler_slots.acquire(blocking=False)
+            try:
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(f"{base}/healthz", timeout=30)
+                assert ei.value.code == 503
+                assert ei.value.headers["Retry-After"] == "1"
+            finally:
+                server.httpd._handler_slots.release()
+            # slot freed: served normally again, refusal counted
+            health = json.loads(
+                urllib.request.urlopen(f"{base}/healthz", timeout=30).read()
+            )
+            assert health["status"] == "ok"
+            assert server.httpd.refused_count == 1
+        finally:
+            server.stop()

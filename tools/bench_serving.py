@@ -121,6 +121,104 @@ def run_combo(
     }
 
 
+def run_overload(
+    base: str,
+    server,
+    n_clients: int,
+    crops_per_req: int,
+    duration_s: float,
+) -> dict:
+    """Flood the server past its admission budget and measure the SHAPE
+    of the failure: rejected requests must fail in milliseconds (429/503
+    + Retry-After), accepted ones must still complete, host memory must
+    stay flat (bounded queue + bounded handler threads), and the
+    pending-row gauge must respect the configured budget."""
+    import resource
+
+    payloads = [
+        _make_payload(crops_per_req, np.random.RandomState(500 + i))
+        for i in range(n_clients)
+    ]
+    # settle (primes the bucket program so accepted-latency is warm)
+    urllib.request.urlopen(
+        urllib.request.Request(f"{base}/predict", data=payloads[0],
+                               method="POST"),
+        timeout=600,
+    ).read()
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    ok_lat: list[float] = []
+    shed_lat: list[float] = []
+    shed_codes: dict[int, int] = {}
+    retry_afters: list[int] = []
+    errors: list[str] = []
+    max_pending = [0]
+    stop_at = time.monotonic() + duration_s
+
+    def client(i: int) -> None:
+        req = urllib.request.Request(
+            f"{base}/predict", data=payloads[i], method="POST"
+        )
+        while time.monotonic() < stop_at:
+            t0 = time.perf_counter()
+            try:
+                urllib.request.urlopen(req, timeout=600).read()
+                ok_lat.append(time.perf_counter() - t0)
+            except urllib.error.HTTPError as e:
+                dt = time.perf_counter() - t0
+                if e.code in (429, 503):
+                    shed_lat.append(dt)
+                    shed_codes[e.code] = shed_codes.get(e.code, 0) + 1
+                    ra = e.headers.get("Retry-After")
+                    if ra:
+                        retry_afters.append(int(ra))
+                    e.read()
+                else:
+                    errors.append(f"HTTP {e.code}: {e.read()[:200]}")
+                    return
+            except Exception as e:  # noqa: BLE001 — record, don't crash
+                errors.append(f"{type(e).__name__}: {e}")
+                return
+            max_pending[0] = max(max_pending[0], server.batcher.pending_rows)
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    if errors:
+        raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
+
+    ok = np.sort(np.asarray(ok_lat)) if ok_lat else np.asarray([np.nan])
+    shed = np.sort(np.asarray(shed_lat)) if shed_lat else np.asarray([np.nan])
+    return {
+        "scenario": "overload",
+        "clients": n_clients,
+        "crops_per_request": crops_per_req,
+        "duration_s": round(wall, 1),
+        "accepted": len(ok_lat),
+        "rejected": len(shed_lat),
+        "rejected_by_code": shed_codes,
+        "accepted_crops_per_s": round(len(ok_lat) * crops_per_req / wall, 1),
+        "accepted_p50_ms": round(float(np.percentile(ok, 50)) * 1e3, 1),
+        "accepted_p99_ms": round(float(np.percentile(ok, 99)) * 1e3, 1),
+        "shed_p50_ms": round(float(np.percentile(shed, 50)) * 1e3, 2),
+        "shed_p99_ms": round(float(np.percentile(shed, 99)) * 1e3, 2),
+        "retry_after_s_median": (
+            int(np.median(retry_afters)) if retry_afters else None
+        ),
+        "max_pending_rows_seen": max_pending[0],
+        "budget_rows": server.batcher.max_pending_rows,
+        "rss_delta_mb": round((rss1 - rss0) / 1024.0, 1),
+        "refused_at_accept": server.httpd.refused_count,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--artifact", default="",
@@ -140,7 +238,30 @@ def main() -> None:
     ap.add_argument("--sweep-window", default="",
                     help="comma list of window_ms; sweeps at --sweep-combo")
     ap.add_argument("--sweep-combo", default="64x1")
+    ap.add_argument("--overload", action="store_true",
+                    help="overload scenario: flood past the admission "
+                         "budget for --overload-duration seconds and "
+                         "report shed latency / memory / budget adherence")
+    ap.add_argument("--overload-clients", type=int, default=256)
+    ap.add_argument("--overload-crops", type=int, default=16)
+    ap.add_argument("--overload-duration", type=float, default=30.0)
+    ap.add_argument("--max-pending-rows", type=int, default=None)
+    ap.add_argument("--loopback", action="store_true",
+                    help="weather-proof serving-PATH number: tiny "
+                         "backbone on CPU, in-process localhost — no "
+                         "axon tunnel, no full-width model; isolates "
+                         "validation->coalesce->dispatch-ahead->scatter")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="re-run each combo N times; report per-run rows "
+                         "plus a median+spread summary (bench.py "
+                         "discipline; use >=5 for --loopback)")
     args = ap.parse_args()
+
+    if args.loopback:
+        # Force CPU BEFORE jax initializes: the point of loopback is a
+        # number with no tunnel weather in it (BENCHMARKS.md records
+        # 20x session-to-session RTT swings on the axon path).
+        os.environ["POCO_TPU_PLATFORM"] = "cpu"
 
     from poco_tpu.utils.comp_cache import enable_compilation_cache
 
@@ -155,23 +276,40 @@ def main() -> None:
     buckets = tuple(int(b) for b in args.buckets.split(","))
     artifact = args.artifact
     if not artifact:
-        from poco_tpu.config import model_config_from_hparams, update_hparams
         from poco_tpu.models.poco import POCO, init_poco
         from poco_tpu.smpl.assets import synthetic_smpl_model
 
-        model = POCO(
-            cfg=model_config_from_hparams(
-                update_hparams(f"configs/poco_{args.which}.yaml")
-            ),
-            dtype=jnp.bfloat16,
-        )
+        if args.loopback:
+            # Tiny backbone, full-size SMPL outputs: the model compute
+            # is negligible, the serving path (validate, coalesce,
+            # dispatch, scatter, npz-encode 6890-vert meshes) is not —
+            # exactly the regression surface this mode trends.
+            from poco_tpu.models.poco import PocoConfig
+
+            cfg = PocoConfig(
+                backbone="tiny-cliff", num_neurons=(64,), context_dim=64,
+            )
+            model = POCO(cfg=cfg)
+        else:
+            from poco_tpu.config import (
+                model_config_from_hparams,
+                update_hparams,
+            )
+
+            model = POCO(
+                cfg=model_config_from_hparams(
+                    update_hparams(f"configs/poco_{args.which}.yaml")
+                ),
+                dtype=jnp.bfloat16,
+            )
         smpl = synthetic_smpl_model(num_verts=6890)
         variables = init_poco(model, jax.random.PRNGKey(0), smpl, batch_size=1)
         artifact = os.path.join(
             tempfile.gettempdir(),
             f"poco_{args.which}_serve_{'_'.join(map(str, buckets))}"
             + ("_u8" if args.uint8 else "")
-            + ("_c" if args.compact else ""),
+            + ("_c" if args.compact else "")
+            + ("_loopback" if args.loopback else ""),
         )
         if not os.path.exists(os.path.join(artifact, "meta.json")):
             t0 = time.perf_counter()
@@ -188,8 +326,22 @@ def main() -> None:
     loaded = load_exported(artifact)
 
     def serve(window_ms: float) -> PocoServer:
-        s = PocoServer(loaded, port=0, batch_window_ms=window_ms)
+        s = PocoServer(loaded, port=0, batch_window_ms=window_ms,
+                       max_pending_rows=args.max_pending_rows)
         return s.start(warmup=True)
+
+    if args.overload:
+        server = serve(args.window_ms)
+        try:
+            row = run_overload(
+                f"http://127.0.0.1:{server.port}", server,
+                args.overload_clients, args.overload_crops,
+                args.overload_duration,
+            )
+        finally:
+            server.stop()
+        print(json.dumps(row), flush=True)
+        return
 
     if args.sweep_window:
         n_clients, crops = (int(v) for v in args.sweep_combo.split("x"))
@@ -211,12 +363,27 @@ def main() -> None:
         base = f"http://127.0.0.1:{server.port}"
         for combo in args.combos.split(","):
             n_clients, crops = (int(v) for v in combo.split("x"))
-            row = run_combo(
-                base, server.batcher, n_clients, crops,
-                args.requests_per_client,
-            )
-            row = {"window_ms": args.window_ms, **row}
-            print(json.dumps(row), flush=True)
+            runs = []
+            for r in range(args.repeats):
+                row = run_combo(
+                    base, server.batcher, n_clients, crops,
+                    args.requests_per_client,
+                )
+                row = {"window_ms": args.window_ms, **row}
+                if args.repeats > 1:
+                    row["run"] = r
+                print(json.dumps(row), flush=True)
+                runs.append(row["crops_per_s"])
+            if args.repeats > 1:
+                med = float(np.median(runs))
+                spread = (max(runs) - min(runs)) / med * 100 if med else 0.0
+                print(json.dumps({
+                    "combo": combo,
+                    "loopback": bool(args.loopback),
+                    "median_crops_per_s": round(med, 1),
+                    "spread_pct": round(spread, 2),
+                    "runs": runs,
+                }), flush=True)
     finally:
         server.stop()
 

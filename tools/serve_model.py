@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--batch-window-ms", type=float, default=5.0,
                     help="micro-batch coalescing window (see BENCHMARKS.md "
                          "serving table for the measured tuning)")
+    ap.add_argument("--max-pending-rows", type=int, default=None,
+                    help="crop-denominated admission budget; beyond it "
+                         "requests are shed with 429 + Retry-After "
+                         "(default: 12 waves of the largest bucket)")
+    ap.add_argument("--max-handler-threads", type=int, default=None,
+                    help="in-flight connection cap; excess connections "
+                         "get an instant 503 at accept (default 128)")
     ap.add_argument("--cpu", action="store_true",
                     help="serve on CPU (data-parallel artifacts get a "
                          "virtual device mesh of the artifact's size)")
@@ -66,7 +73,9 @@ def main() -> None:
     from poco_tpu.runtime.server import PocoServer
 
     server = PocoServer(args.artifact, host=args.host, port=args.port,
-                        batch_window_ms=args.batch_window_ms)
+                        batch_window_ms=args.batch_window_ms,
+                        max_pending_rows=args.max_pending_rows,
+                        max_handler_threads=args.max_handler_threads)
     print(f"serving {args.artifact} on {args.host}:{server.port} "
           f"(buckets {server.model.batch_sizes})")
     try:
