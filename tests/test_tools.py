@@ -84,3 +84,58 @@ class TestDetectorQuality:
         vis = d["part"][..., 2] > 0
         assert d["part"][..., 0][vis].min() >= 0
         assert d["part"][..., 0][vis].max() < 256
+
+
+class TestBenchAdjudication:
+    """bench.py chain-outlier self-adjudication (VERDICT r4 weak #2:
+    the driver artifact must flag or repair chains that contradict the
+    in-repo spread claims, not record them silently)."""
+
+    def _bench(self):
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(REPO, "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_clean_chains_untouched(self):
+        b = self._bench()
+        called = []
+        samples, info = b._adjudicate_chains(
+            [100.0, 101.0, 99.5, 100.4, 100.2],
+            lambda: called.append(1) or 100.0,
+        )
+        assert info["verdict"] == "clean"
+        assert not called  # no re-runs spent on a clean spread
+        assert sorted(samples) == [99.5, 100.0, 100.2, 100.4, 101.0]
+
+    def test_outlier_rerun_and_replaced(self):
+        b = self._bench()
+        reruns = iter([100.3])
+        samples, info = b._adjudicate_chains(
+            [100.0, 101.0, 99.5, 100.4, 68.0],  # one chain -32%
+            lambda: next(reruns),
+        )
+        assert info["verdict"] == "outliers_replaced"
+        assert info["outliers_rerun"] == [68.0]
+        assert info["rerun_values"] == [100.3]
+        assert 68.0 not in samples and 100.3 in samples
+
+    def test_persistent_outliers_marked_unstable(self):
+        b = self._bench()
+        samples, info = b._adjudicate_chains(
+            [100.0, 101.0, 99.5, 100.4, 68.0],
+            lambda: 65.0,  # every re-run lands low too
+            max_reruns=2,
+        )
+        assert info["verdict"] == "unstable"
+        assert info["residual_outliers"]  # visible in the artifact
+
+    def test_summarize_carries_adjudication(self):
+        b = self._bench()
+        row = b._summarize(
+            "m", "u", [100.0, 100.5], {"verdict": "clean", "tol_pct": 5.0}
+        )
+        assert row["spread"]["verdict"] == "clean"
+        assert row["spread"]["n_chains"] == 2
