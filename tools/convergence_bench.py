@@ -198,15 +198,20 @@ def main():
         newest = max(cands, key=os.path.getmtime)
         sidecar = os.path.join(newest, "last.trainer.json")
         if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                done = int(json.load(f)["next_epoch"])
+            resumable = (newest, done)
             # Liveness guard: a fresh metrics.jsonl means a writer may
             # still be training this logdir (e.g. a run that outlived
             # its session). Resuming under a live writer races orbax's
-            # delete-and-rewrite of "last"; refuse instead.
+            # delete-and-rewrite of "last"; refuse instead. (A FINISHED
+            # run is safe to evaluate regardless of mtime.)
             import time as _time
 
             metrics = os.path.join(newest, "metrics.jsonl")
             if (
-                os.path.exists(metrics)
+                done < args.epochs
+                and os.path.exists(metrics)
                 and _time.time() - os.path.getmtime(metrics) < 180
             ):
                 raise SystemExit(
@@ -214,9 +219,6 @@ def main():
                     "process may still be running it; wait for it (or "
                     "pass --fresh to start a new run)"
                 )
-            with open(sidecar) as f:
-                done = int(json.load(f)["next_epoch"])
-            resumable = (newest, done)
 
     env = dict(os.environ)
     if not args.skip_train:
