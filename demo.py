@@ -199,6 +199,29 @@ def run_folder(args, tester):
     print(f"poco FPS: {n / max(time.time() - t0, 1e-9):.2f} ({n} crops)")
 
 
+def run_webcam(args, tester):
+    """Streaming mode (beyond reference: /root/reference/demo.py:103-105
+    raises NotImplementedError). --webcam_source takes a camera index,
+    a stream URL, or a DIRECTORY (replay mode — the CI path)."""
+    from poco_tpu.demo.stream import open_source, run_stream
+
+    source = open_source(args.webcam_source, max_frames=args.max_frames)
+    stats = run_stream(
+        tester, source,
+        output_folder=None if args.no_render else args.output_folder,
+        smooth=args.smooth, min_cutoff=args.min_cutoff, beta=args.beta,
+        uncert_color=not args.no_uncert_color,
+        display=args.display, render=not args.no_render,
+        max_frames=args.max_frames,
+    )
+    print(
+        f"poco stream: {stats['frames']} frames, "
+        f"e2e p50 {stats['e2e_ms_p50']} ms (p90 {stats['e2e_ms_p90']}), "
+        f"model p50 {stats['model_ms_p50']} ms, {stats['fps']} fps"
+    )
+    return stats
+
+
 def run_directory(args, tester):
     subdirs = sorted(
         d for d in os.listdir(args.image_folder)
@@ -277,6 +300,12 @@ def main():
     parser.add_argument("--beta", type=float, default=0.7)
     # rendering
     parser.add_argument("--no_render", action="store_true")
+    # webcam/streaming mode
+    parser.add_argument("--webcam_source", default="0",
+                        help="camera index, stream URL, or a directory "
+                             "(replay mode) for --mode webcam")
+    parser.add_argument("--max_frames", type=int, default=None,
+                        help="stop the webcam stream after N frames")
     parser.add_argument("--render_crop", action="store_true",
                         help="render the overlay on the 224px crop "
                              "instead of the original frame")
@@ -293,14 +322,10 @@ def main():
         # reference demo.py:60-87: experiment tag folds into output paths
         args.output_folder = args.output_folder.rstrip("/") + "_" + args.exp
 
-    if args.mode == "webcam":
-        raise NotImplementedError(
-            "webcam mode is not implemented (matches the reference, "
-            "demo.py:103-105)"
-        )
-
     tester = build_tester(args)
-    if args.mode == "video":
+    if args.mode == "webcam":
+        run_webcam(args, tester)
+    elif args.mode == "video":
         run_video(args, tester)
     elif args.mode == "folder":
         run_folder(args, tester)

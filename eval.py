@@ -29,6 +29,14 @@ def main():
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--out", default=None, help="report json path")
     parser.add_argument(
+        "--dist", action="store_true",
+        help="initialize jax.distributed with auto-detected pod "
+             "topology for a multi-host eval (explicit topology via "
+             "POCO_COORDINATOR/POCO_NUM_PROCESSES/POCO_PROCESS_ID env "
+             "vars works without this flag); metrics allgather across "
+             "processes, rank 0 prints/writes the report",
+    )
+    parser.add_argument(
         "--make_launcher", default=None, choices=["bash", "slurm"],
         help="write a grid-search eval array launcher and exit (the "
              "reference eval.py's --cluster handoff, eval.py:44-58)",
@@ -46,7 +54,13 @@ def main():
 
     import jax
 
+    from poco_tpu.parallel import distributed as dist
     from poco_tpu.utils.comp_cache import enable_compilation_cache
+
+    # Must run before first device use so the processes form one SPMD
+    # runtime (reference eval.py:28-34 is single-GPU only; SURVEY §5.8 —
+    # the sharded 3DPW eval is BASELINE configs[5]).
+    dist.maybe_initialize(auto=args.dist)
 
     enable_compilation_cache()
 
@@ -125,10 +139,17 @@ def main():
     per_joint = result.per_joint_stats()
     if per_joint is not None:
         payload["per_joint"] = per_joint
-    print(json.dumps(payload, indent=1))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(payload, f, indent=1)
+    # run_eval allgathers per-sample metrics, so every process holds the
+    # identical report; rank 0 alone prints/writes it (reference
+    # rank-0 gating: train_utils.py:167-170 — and the reference's
+    # save_results is DISABLED for NUM_GPUS>1, save_results.py:47;
+    # here the report survives multi-process).
+    if dist.is_main_process():
+        print(json.dumps(payload, indent=1))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(payload, f, indent=1)
+    dist.barrier("poco_eval_end")
 
 
 def load_checkpoint_into(variables, ckpt_path: str, model_cfg,

@@ -531,6 +531,26 @@ class DataLoader:
             import inspect
 
             supports_keep = "keep" in inspect.signature(get_batch).parameters
+        if self.num_shards > 1 and not supports_keep:
+            # Fallback shard-by-slicing: every process consumes an
+            # IDENTICAL augmentation RNG stream on different rows, so
+            # augmentations are correlated across shards and the run is
+            # not augmentation-equivalent to single-process semantics
+            # (and '_global_row_names' policies like GT_POSE_COND are
+            # unavailable). Custom datasets get exactness by providing
+            # get_batch(idxs, keep=...).
+            if not getattr(type(self), "_warned_keepless_shard", False):
+                type(self)._warned_keepless_shard = True
+                import warnings
+
+                warnings.warn(
+                    f"{type(self.dataset).__name__} has no "
+                    "get_batch(..., keep=...): sharded loading falls "
+                    "back to index slicing with a shared augmentation "
+                    "RNG stream — augmentations will be correlated "
+                    "across processes and differ from a single-process "
+                    "run", stacklevel=2,
+                )
 
         lo = self.shard_index * (self.batch_size // self.num_shards)
         hi = lo + self.batch_size // self.num_shards

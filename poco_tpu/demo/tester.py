@@ -486,6 +486,88 @@ class PocoTester:
             infer_batch=self.infer_keypoints_batch, **kwargs
         )
 
+    def infer_frame(
+        self,
+        img: np.ndarray,
+        dets: np.ndarray,
+        bucket_hw: tuple[int, int] | None = None,
+    ) -> dict[str, Any]:
+        """One frame through the fused crop->forward XLA program.
+
+        The per-frame core of the folder demo (reference
+        tester.py:171-233) and of the streaming/webcam mode: detections
+        are padded to a multiple of 8 and the image upload to
+        `bucket_hw` so consecutive frames share one compiled program.
+        Returns {} when there are no detections.
+        """
+        dets = np.atleast_2d(np.asarray(dets, np.float32))
+        if dets.size == 0:
+            return {}
+        h0, w0 = img.shape[:2]
+        if bucket_hw is None:
+            bucket_hw = (-(-h0 // 256) * 256, -(-w0 // 256) * 256)
+        centers = dets[:, :2]
+        scales = np.maximum(dets[:, 2], dets[:, 3]) * 1.0 / 200.0
+        n = len(dets)
+
+        # Pad the detection count to a multiple of 8 so varying
+        # person counts reuse the same compiled program.
+        n_pad = -(-n // 8) * 8
+        centers_p = np.concatenate(
+            [centers, np.repeat(centers[-1:], n_pad - n, axis=0)]
+        )
+        scales_p = np.concatenate(
+            [scales, np.repeat(scales[-1:], n_pad - n)]
+        )
+
+        # Fused on-device preprocessing + forward: one dispatch.
+        # Bucket-pad the upload so different image sizes share
+        # compiled programs (true shape drives the camera model).
+        img_p = np.zeros((bucket_hw[0], bucket_hw[1], 3), img.dtype)
+        img_p[:h0, :w0] = img
+        out_dev = self._detect_forward(
+            self.variables,
+            jnp.asarray(img_p),
+            jnp.asarray([h0, w0], np.float32),
+            jnp.asarray(centers_p),
+            jnp.asarray(scales_p),
+            self.smpl,
+        )
+        out = {
+            k: np.asarray(v)[:n]
+            for k, v in out_dev.items()
+            if v is not None and hasattr(v, "shape")
+        }
+
+        var, gvar = self._prep_uncert(out)
+        bbox_chw = np.concatenate(
+            [centers, (scales * 200.0)[:, None]], axis=1
+        )
+        orig_cam = convert_crop_cam_to_orig_img(
+            out["pred_cam"], bbox_chw, w0, h0
+        )
+        # CLIFF joints2d are already full-image pixel coords
+        # (tester.py:216-233 skips the conversion for cliff heads).
+        if "cliff" in self.backbone:
+            joints2d_orig = out["smpl_joints2d"]
+        else:
+            joints2d_orig = convert_crop_coords_to_orig_img(
+                bbox_chw, out["smpl_joints2d"], IMG_RES
+            )
+
+        return {
+            "verts": out["smpl_vertices"],
+            "pred_cam": out["pred_cam"],
+            "orig_cam": orig_cam,
+            "pose": out["pred_pose"],
+            "betas": out["pred_shape"],
+            "joints3d": out["smpl_joints3d"],
+            "smpl_joints2d": joints2d_orig,
+            "bboxes": dets,
+            "var": var,
+            "var_global": gvar,
+        }
+
     def run_on_image_folder(
         self,
         image_folder: str,
@@ -531,75 +613,18 @@ class PocoTester:
         n_crops = 0
         for img_path, dets in zip(image_files, detections):
             img = read_image_rgb(img_path)
-            dets = np.atleast_2d(np.asarray(dets, np.float32))
-            if dets.size == 0:
-                results.append({})
+            result = self.infer_frame(img, dets, (bucket_h, bucket_w))
+            results.append(result)
+            if not result:
                 continue
+            n = len(result["bboxes"])
+            n_crops += n
+            dets = result["bboxes"]
             centers = dets[:, :2]
             scales = np.maximum(dets[:, 2], dets[:, 3]) * 1.0 / 200.0
-            n = len(dets)
-            n_crops += n
-
-            # Pad the detection count to a multiple of 8 so varying
-            # person counts reuse the same compiled program.
-            n_pad = -(-n // 8) * 8
-            centers_p = np.concatenate(
-                [centers, np.repeat(centers[-1:], n_pad - n, axis=0)]
-            )
-            scales_p = np.concatenate(
-                [scales, np.repeat(scales[-1:], n_pad - n)]
-            )
-
-            # Fused on-device preprocessing + forward: one dispatch.
-            # Bucket-pad the upload so different image sizes share
-            # compiled programs (true shape drives the camera model).
-            h0, w0 = img.shape[:2]
-            img_p = np.zeros((bucket_h, bucket_w, 3), img.dtype)
-            img_p[:h0, :w0] = img
-            out_dev = self._detect_forward(
-                self.variables,
-                jnp.asarray(img_p),
-                jnp.asarray([h0, w0], np.float32),
-                jnp.asarray(centers_p),
-                jnp.asarray(scales_p),
-                self.smpl,
-            )
-            out = {
-                k: np.asarray(v)[:n]
-                for k, v in out_dev.items()
-                if v is not None and hasattr(v, "shape")
-            }
-
-            var, gvar = self._prep_uncert(out)
-            h, w = img.shape[:2]
-            bbox_chw = np.concatenate(
-                [centers, (scales * 200.0)[:, None]], axis=1
-            )
-            orig_cam = convert_crop_cam_to_orig_img(
-                out["pred_cam"], bbox_chw, w, h
-            )
-            # CLIFF joints2d are already full-image pixel coords
-            # (tester.py:216-233 skips the conversion for cliff heads).
-            if "cliff" in self.backbone:
-                joints2d_orig = out["smpl_joints2d"]
-            else:
-                joints2d_orig = convert_crop_coords_to_orig_img(
-                    bbox_chw, out["smpl_joints2d"], IMG_RES
-                )
-
-            result = {
-                "verts": out["smpl_vertices"],
-                "pred_cam": out["pred_cam"],
-                "orig_cam": orig_cam,
-                "pose": out["pred_pose"],
-                "betas": out["pred_shape"],
-                "joints3d": out["smpl_joints3d"],
-                "smpl_joints2d": joints2d_orig,
-                "bboxes": dets,
-                "var": var,
-                "var_global": gvar,
-            }
-            results.append(result)
+            out = result
+            orig_cam = result["orig_cam"]
+            var = result["var"]
 
             if render and output_folder:
                 if render_crop:

@@ -74,14 +74,32 @@ def maybe_initialize(
                 "independent single-process runs; fix the launcher env"
             )
         return False
-    if not auto and (coordinator is None or num_processes is None
-                     or process_id is None):
+    partial = (coordinator is None or num_processes is None
+               or process_id is None)
+    any_set = (coordinator is not None or num_processes is not None
+               or process_id is not None)
+    if partial and (not auto or any_set):
+        # auto=True only means "let JAX detect the pod topology" when NO
+        # explicit topology is present. A partially-set POCO_* env (e.g.
+        # a stale POCO_COORDINATOR with no POCO_NUM_PROCESSES) must fail
+        # fast, not leak a mix of explicit and None args into
+        # jax.distributed.initialize.
         raise ValueError(
             "incomplete multi-process topology: need ALL of "
             "POCO_COORDINATOR, POCO_NUM_PROCESSES, POCO_PROCESS_ID "
+            "(or, with --dist, none of them for pod auto-detection) "
             f"(got coordinator={coordinator!r}, "
             f"num_processes={num_processes!r}, process_id={process_id!r})"
         )
+
+    # The platform override must land BEFORE the distributed runtime
+    # forms: initializing with the (tunneled, single-chip) TPU plugin
+    # visible makes N processes claim the same physical chip and hang.
+    # POCO_TPU_PLATFORM=cpu + the POCO_* topology is the supported way
+    # to run multi-process CLIs on CPU (tests, TPU-less hosts).
+    from ..utils.comp_cache import force_platform_from_env
+
+    force_platform_from_env()
 
     import jax
 

@@ -99,6 +99,7 @@ class Trainer:
         # is_main_process(), train_utils.py:167-170).
         self.is_main = dist.is_main_process()
         self.n_procs = dist.process_count()
+        self._fetch_head_cache: dict[int, object] = {}
         self.logdir = hparams.LOG_DIR
         os.makedirs(self.logdir, exist_ok=True)
 
@@ -364,13 +365,18 @@ class Trainer:
         """
         if self.n_procs == 1:
             return np.asarray(arr[:n])
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Cache the jitted slice per n: a fresh jax.jit(lambda ...) every
+        # call would never hit the jit cache, so each SAVE_IMAGES step
+        # would pay retrace+compile round trips — a synchronized
+        # collective stall on every host.
+        fn = self._fetch_head_cache.get(n)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        repl = NamedSharding(self.mesh, P())
-        small = jax.jit(
-            lambda x: x[:n], out_shardings=repl
-        )(arr)
-        return np.asarray(small)
+            repl = NamedSharding(self.mesh, P())
+            fn = jax.jit(lambda x: x[:n], out_shardings=repl)
+            self._fetch_head_cache[n] = fn
+        return np.asarray(fn(arr))
 
     def _cond_mask(self, host_batch: dict) -> np.ndarray:
         """GT-pose-conditioning row mask (reference poco_head.py:101-107).

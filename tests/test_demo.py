@@ -760,3 +760,111 @@ class TestPoseTrackVideo:
         assert r["verts"].shape[0] == n
         assert r["bboxes"].shape == (n, 4)
         assert np.isfinite(r["bboxes"]).all()
+
+
+class TestStreamMode:
+    """Webcam/streaming mode (poco_tpu/demo/stream.py) — beyond
+    reference: /root/reference/demo.py:103-105 raises
+    NotImplementedError for --mode webcam."""
+
+    def test_directory_source_streams_in_order(self, frame_folder):
+        from poco_tpu.demo.stream import DirectoryFrameSource
+
+        src = DirectoryFrameSource(frame_folder)
+        frames = []
+        while True:
+            f = src.read()
+            if f is None:
+                break
+            frames.append(f)
+        assert len(frames) == 4
+        assert frames[0].shape == (120, 160, 3)
+        # max_frames bounds the stream
+        src2 = DirectoryFrameSource(frame_folder, max_frames=2)
+        assert src2.read() is not None and src2.read() is not None
+        assert src2.read() is None
+
+    def test_run_stream_end_to_end(self, frame_folder, tmp_path):
+        from poco_tpu.demo.stream import DirectoryFrameSource, run_stream
+
+        tester = _tiny_tester()
+        out_dir = str(tmp_path / "stream")
+        stats = run_stream(
+            tester, DirectoryFrameSource(frame_folder),
+            output_folder=out_dir, smooth=True,
+        )
+        assert stats["frames"] == 4
+        assert stats["detections"] >= 4
+        assert stats["e2e_ms_p50"] > 0 and stats["model_ms_p50"] > 0
+        rendered = [f for f in os.listdir(out_dir)
+                    if f.startswith("stream_")]
+        assert len(rendered) == 4
+
+    def test_stream_smoothing_reduces_jitter(self, tmp_path):
+        """The primary person's vertices through the streaming filter
+        must be temporally smoother than the raw predictions on a
+        jittering input."""
+        from poco_tpu.demo.stream import DirectoryFrameSource, run_stream
+
+        rng = np.random.RandomState(3)
+        folder = tmp_path / "jitter"
+        folder.mkdir()
+        base = rng.randint(40, 200, (120, 160, 3), dtype=np.uint8)
+        for i in range(6):
+            noisy = np.clip(
+                base.astype(int) + rng.randint(-25, 25, base.shape), 0, 255
+            ).astype(np.uint8)
+            cv2.imwrite(str(folder / f"{i:06d}.png"), noisy)
+
+        tester = _tiny_tester()
+        src = DirectoryFrameSource(str(folder))
+        raw_verts = []
+        frame = src.read()
+        while frame is not None:
+            r = tester.infer_frame(frame, tester.detector(frame))
+            raw_verts.append(r["verts"][0])
+            frame = src.read()
+
+        # Streaming filter over the same per-frame predictions (the
+        # exact update run_stream applies to the primary person).
+        from poco_tpu.utils.one_euro import OneEuroFilter
+
+        f = None
+        smooth_verts = []
+        for t, v in enumerate(raw_verts):
+            if f is None:
+                f = OneEuroFilter(t, v, min_cutoff=0.004, beta=1.5)
+                smooth_verts.append(v)
+            else:
+                smooth_verts.append(np.asarray(f(t, v)))
+
+        raw_jit = np.mean([
+            np.abs(raw_verts[i + 1] - raw_verts[i]).mean()
+            for i in range(len(raw_verts) - 1)
+        ])
+        smooth_jit = np.mean([
+            np.abs(smooth_verts[i + 1] - smooth_verts[i]).mean()
+            for i in range(len(smooth_verts) - 1)
+        ])
+        assert smooth_jit < raw_jit
+
+    def test_demo_cli_webcam_replay(self, frame_folder, tmp_path):
+        """`demo.py --mode webcam` against a directory source (the CI
+        stand-in for a camera) runs end to end and reports latency."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["POCO_TPU_PLATFORM"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "demo.py", "--mode", "webcam",
+             "--webcam_source", frame_folder,
+             "--cfg", "configs/tiny_smoke.yaml",
+             "--output_folder", str(tmp_path / "cli_stream"),
+             "--max_frames", "2", "--smooth"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "poco stream:" in r.stdout
+        assert "fps" in r.stdout

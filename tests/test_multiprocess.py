@@ -140,3 +140,77 @@ def test_two_process_training_matches_single(smoke_data, tmp_path):
         pair["param_sum"], single["param_sum"], rtol=1e-5,
         err_msg="final parameter checksum diverges",
     )
+
+
+def _run_eval_cli(outdir: str, data_dir: str, nprocs: int,
+                  devices: int) -> dict:
+    """Drive the real eval.py CLI under an n-process CPU topology."""
+    os.makedirs(outdir, exist_ok=True)
+    out_json = os.path.join(outdir, "report.json")
+    base_env = _worker_env()
+    base_env["POCO_TPU_PLATFORM"] = "cpu"
+    base_env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices}"
+    )
+    cmd = [
+        sys.executable, "eval.py", "--cfg", "configs/tiny_smoke.yaml",
+        "--dataset", "smoke", "--data_dir", data_dir,
+        "--batch_size", "8", "--out", out_json,
+    ]
+    if nprocs == 1:
+        subprocess.run(cmd, cwd=REPO, check=True, env=base_env,
+                       timeout=1200)
+    else:
+        port = _free_port()
+        procs = []
+        for i in range(nprocs):
+            env = dict(base_env)
+            env["POCO_COORDINATOR"] = f"localhost:{port}"
+            env["POCO_NUM_PROCESSES"] = str(nprocs)
+            env["POCO_PROCESS_ID"] = str(i)
+            procs.append(subprocess.Popen(
+                cmd, cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=1200)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out.decode(errors="replace"))
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, (
+                f"eval worker failed (rc={p.returncode}):\n{out[-4000:]}"
+            )
+        # rank-0 gating: exactly one process printed the report
+        printed = [o for o in outs if '"summary"' in o]
+        assert len(printed) == 1, "report must print on rank 0 only"
+    with open(out_json) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_two_process_eval_matches_single(smoke_data, tmp_path):
+    """eval.py --dist contract (reference eval.py:28-34 is single-GPU
+    only; SURVEY §5.8 / BASELINE configs[5] want the sharded eval):
+    the full report — summary metrics AND pw3d splits — from
+    2 processes x 4 devices equals the 1 process x 8 devices one."""
+    single = _run_eval_cli(str(tmp_path / "sp"), smoke_data, 1, 8)
+    pair = _run_eval_cli(str(tmp_path / "mp"), smoke_data, 2, 4)
+
+    for key in ("mpjpe", "pa_mpjpe", "v2v"):
+        np.testing.assert_allclose(
+            pair["summary"][key], single["summary"][key], rtol=2e-4,
+            err_msg=f"summary {key} diverges 1-proc vs 2-proc",
+        )
+    assert pair["splits"].keys() == single["splits"].keys()
+    for split, row in single["splits"].items():
+        for key, val in row.items():
+            if isinstance(val, (int, float)):
+                np.testing.assert_allclose(
+                    pair["splits"][split][key], val, rtol=2e-4,
+                    err_msg=f"split {split}/{key} diverges",
+                )
