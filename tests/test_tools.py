@@ -139,3 +139,23 @@ class TestBenchAdjudication:
         )
         assert row["spread"]["verdict"] == "clean"
         assert row["spread"]["n_chains"] == 2
+
+
+class TestHeteroConvergenceData:
+    def test_convhet_schema_and_ramp(self, tmp_path):
+        """The heterogeneous set must encode a per-joint difficulty
+        RAMP: low-index joints almost always visible, high-index ones
+        mostly occluded (persistent per-joint difficulty — the regime
+        the round-5 calibration study measures)."""
+        cb = _load("convergence_bench")
+        out = cb.make_split(str(tmp_path), "test", 200, seed=5, hetero=True)
+        assert out.endswith("convhet_test.npz")
+        d = np.load(out, allow_pickle=True)
+        vis_rate = (d["part"][..., 2] > 0).mean(axis=0)  # (24,)
+        assert vis_rate[0] > 0.95          # joint 0: never occluded
+        assert vis_rate[23] < 0.35         # joint 23: ~86% occluded
+        # monotone-ish ramp: first third clearly more visible than last
+        assert vis_rate[:8].mean() > vis_rate[16:].mean() + 0.3
+        # 3D supervision stays complete (occlusion hides image evidence,
+        # not the 3D target — that is what makes residuals persistent)
+        assert (d["S"][..., 3] == 1).all()

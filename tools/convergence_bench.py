@@ -57,13 +57,24 @@ def _joint_colors(n: int = 24) -> np.ndarray:
     return (np.asarray(cols) * 255).astype(np.uint8)
 
 
-def make_split(root: str, split: str, n: int, seed: int) -> str:
+def make_split(
+    root: str, split: str, n: int, seed: int, hetero: bool = False
+) -> str:
     """Write {root}/dataset_extras/conv_{split}.npz + JPEG images.
 
     GT follows the reference npz schema (base_dataset.py:52-149); the
     24 'part'/'S' joints use the model's own 49-joint convention rows
     25:49 (smpl_49), so 2D/3D keypoint losses supervise the matching
     predicted joints.
+
+    hetero=True writes convhet_{split}.npz with BUILT-IN per-joint
+    difficulty heterogeneity: joint j's blob is occluded with a fixed
+    probability ramping 0 -> 0.86 across the 24 joints (instead of the
+    homogeneous "half the samples lose 12 random joints"). High-ramp
+    joints carry persistently less image evidence, so their residuals
+    CANNOT homogenize at convergence — the regime where per-joint
+    calibration must persist if the BENCHMARKS.md round-4 decay
+    explanation is right (the claim this set exists to measure).
     """
     import cv2
     import jax
@@ -74,7 +85,8 @@ def make_split(root: str, split: str, n: int, seed: int) -> str:
     from poco_tpu.smpl.model import smpl_49
 
     rng = np.random.RandomState(seed)
-    img_dir = os.path.join(root, "dataset_folders", "conv")
+    ds = "convhet" if hetero else "conv"
+    img_dir = os.path.join(root, "dataset_folders", ds)
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(os.path.join(root, "dataset_extras"), exist_ok=True)
 
@@ -101,7 +113,12 @@ def make_split(root: str, split: str, n: int, seed: int) -> str:
         img += (8 * rng.rand(IMG, IMG, 3)).astype(np.uint8)
         conf = np.ones(24, np.float32)
         hide = np.zeros(24, bool)
-        if i % 2 == 1:
+        if hetero:
+            # fixed per-joint occlusion ramp: joint j hidden w.p.
+            # 0.9*j/23 on every sample — persistent per-joint difficulty
+            hide = rng.rand(24) < 0.9 * np.arange(24) / 23.0
+            occluded[i] = bool(hide.any())
+        elif i % 2 == 1:
             hide[rng.choice(24, 12, replace=False)] = True
             occluded[i] = True
         for jid in range(24):
@@ -117,13 +134,13 @@ def make_split(root: str, split: str, n: int, seed: int) -> str:
             os.path.join(img_dir, name), img[:, :, ::-1],
             [cv2.IMWRITE_JPEG_QUALITY, 95],
         )
-        imgnames.append(f"dataset_folders/conv/{name}")
+        imgnames.append(f"dataset_folders/{ds}/{name}")
         parts.append(
             np.concatenate([px[:, None], py[:, None], conf[:, None]], 1)
         )
 
     S = np.concatenate([j24, np.ones((n, 24, 1))], axis=-1).astype(np.float32)
-    out = os.path.join(root, "dataset_extras", f"conv_{split}.npz")
+    out = os.path.join(root, "dataset_extras", f"{ds}_{split}.npz")
     np.savez(
         out,
         imgname=np.array(imgnames),
@@ -152,10 +169,15 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data")
-    ap.add_argument("--which", default="cliff", choices=["cliff", "pare"],
-                    help="recipe: configs/convergence.yaml (CLIFF) or "
+    ap.add_argument("--which", default="cliff",
+                    choices=["cliff", "pare", "pare_hetero"],
+                    help="recipe: configs/convergence.yaml (CLIFF), "
                          "configs/convergence_pare.yaml (PARE part-"
-                         "attention family)")
+                         "attention family), or the heterogeneous-"
+                         "difficulty PARE study (per-joint occlusion "
+                         "ramp; measures whether calibration persists "
+                         "at best-MPJPE when residuals cannot "
+                         "homogenize)")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--mpjpe_thresh", type=float, default=120.0)
     ap.add_argument("--corr_thresh", type=float, default=0.2)
@@ -166,20 +188,28 @@ def main():
     ap.add_argument("--make_data_only", action="store_true")
     args = ap.parse_args()
 
-    train_npz = os.path.join(args.root, "dataset_extras", "conv_train.npz")
+    hetero = args.which == "pare_hetero"
+    ds = "convhet" if hetero else "conv"
+    train_npz = os.path.join(
+        args.root, "dataset_extras", f"{ds}_train.npz"
+    )
     if not os.path.exists(train_npz):
         for split, n, seed in (("train", N_TRAIN, 0), ("test", N_TEST, 1)):
-            path = make_split(args.root, split, n, seed)
+            path = make_split(args.root, split, n, seed, hetero=hetero)
             print(f"wrote {path}", file=sys.stderr)
     if args.make_data_only:
         return
 
-    cfg = (
-        "configs/convergence.yaml"
-        if args.which == "cliff"
-        else "configs/convergence_pare.yaml"
-    )
-    exp_name = "convergence" if args.which == "cliff" else "convergence_pare"
+    cfg = {
+        "cliff": "configs/convergence.yaml",
+        "pare": "configs/convergence_pare.yaml",
+        "pare_hetero": "configs/convergence_pare_hetero.yaml",
+    }[args.which]
+    exp_name = {
+        "cliff": "convergence",
+        "pare": "convergence_pare",
+        "pare_hetero": "convergence_pare_het",
+    }[args.which]
 
     # Session-death-proof training: the trainer already checkpoints
     # "last" + a full host-state sidecar every epoch, so the benchmark
@@ -263,7 +293,7 @@ def main():
         report = f"/tmp/convergence_eval_{args.which}_{tag}.json"
         r = subprocess.run(
             [sys.executable, "eval.py", "--cfg", cfg,
-             "--ckpt", ckpt, "--dataset", "conv", "--data_dir", args.root,
+             "--ckpt", ckpt, "--dataset", ds, "--data_dir", args.root,
              "--batch_size", "50", "--out", report],
             cwd=REPO, env=env,
         )
