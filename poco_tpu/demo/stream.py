@@ -37,7 +37,7 @@ class DirectoryFrameSource:
 
     def __init__(self, folder: str, loop: bool = False,
                  max_frames: int | None = None):
-        from .tester import images_in_folder
+        from ..data.inference import images_in_folder
 
         self.files = images_in_folder(folder)
         if not self.files:
@@ -123,11 +123,13 @@ def run_stream(
     frame = source.read()
     if frame is None:
         raise ValueError("empty frame source")
-    bucket_hw = (
-        -(-frame.shape[0] // 256) * 256,
-        -(-frame.shape[1] // 256) * 256,
-    )
+
+    def _bucket_for(h: int, w: int) -> tuple[int, int]:
+        return (-(-h // 256) * 256, -(-w // 256) * 256)
+
+    bucket_hw = _bucket_for(*frame.shape[:2])
     tester.warmup(frame.shape[:2])
+    lbs_weights = np.asarray(tester.smpl.lbs_weights)
 
     filters: dict[str, Any] = {}
     lat_e2e: list[float] = []
@@ -150,6 +152,12 @@ def run_stream(
         if max_frames is not None and n_frames >= max_frames:
             break
         t0 = time.perf_counter()
+        # A later frame may be larger than the first (mixed-size replay
+        # directories, stream resolution changes): grow the upload
+        # bucket — one extra compile for the new bucket, and the stream
+        # survives instead of crashing on the pad write.
+        bh, bw = _bucket_for(*frame.shape[:2])
+        bucket_hw = (max(bucket_hw[0], bh), max(bucket_hw[1], bw))
         dets = tester.detector(frame)
         t1 = time.perf_counter()
         result = tester.infer_frame(frame, dets, bucket_hw)
@@ -174,7 +182,7 @@ def run_stream(
                     if uncert_color and var is not None:
                         vc = get_vertex_colors(
                             var[pi].copy(),
-                            np.asarray(tester.smpl.lbs_weights),
+                            lbs_weights,
                             backbone=tester.backbone,
                         )
                     canvas = tester.renderer.render(

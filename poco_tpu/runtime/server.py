@@ -372,6 +372,21 @@ class _Handler(BaseHTTPRequestHandler):
         except (BrokenPipeError, ConnectionResetError):
             pass
 
+    def _drain_body(self, cap: int = 64 << 20) -> None:
+        """Discard up to `cap` bytes of an unread request body in chunks
+        (constant memory). Bodies beyond the cap are left unread — the
+        close then RSTs, which is the right outcome for an upload too
+        large to be worth draining."""
+        try:
+            left = min(int(self.headers.get("Content-Length", "0")), cap)
+            while left > 0:
+                chunk = self.rfile.read(min(left, 1 << 20))
+                if not chunk:
+                    break
+                left -= len(chunk)
+        except (OSError, ValueError):
+            pass
+
     def do_POST(self):
         if self.path != "/predict":
             self._send_json(404, {"error": f"no route {self.path}"})
@@ -379,12 +394,16 @@ class _Handler(BaseHTTPRequestHandler):
         batcher = self.server.batcher  # type: ignore[attr-defined]
         retry = batcher.overloaded_precheck()
         if retry is not None:
-            # Shed BEFORE reading the body: the request is doomed anyway
-            # and its (multi-MB) upload would cost the host memory and
-            # the client milliseconds-vs-seconds. The connection must
-            # close (the unread body is still in the pipe).
+            # Shed BEFORE parsing the body: the request is doomed anyway
+            # and decoding its (multi-MB) npz would cost host memory.
+            # Respond first — the client sees the 429 as soon as its
+            # upload completes — then drain a bounded amount of the
+            # unread body so the close is a clean FIN: closing with
+            # unread data in the socket sends an RST that can destroy
+            # the in-flight 429 before the client reads it.
             self.close_connection = True
             self._send_429(retry, "server overloaded: admission budget full")
+            self._drain_body()
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))

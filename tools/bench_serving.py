@@ -139,18 +139,31 @@ def run_overload(
         _make_payload(crops_per_req, np.random.RandomState(500 + i))
         for i in range(n_clients)
     ]
-    # settle (primes the bucket program so accepted-latency is warm)
-    urllib.request.urlopen(
-        urllib.request.Request(f"{base}/predict", data=payloads[0],
-                               method="POST"),
-        timeout=600,
-    ).read()
+    # settle (primes the bucket program so accepted-latency is warm).
+    # A 429 here is a legitimate configuration (e.g. --max-pending-rows
+    # smaller than one settle payload): proceed unwarmed rather than die.
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/predict", data=payloads[0],
+                                   method="POST"),
+            timeout=600,
+        ).read()
+    except urllib.error.HTTPError as e:
+        if e.code not in (429, 503):
+            raise RuntimeError(
+                f"settle request failed: {e.code} {e.read().decode()[:500]}"
+            ) from e
+        e.read()
+        print(f"settle request shed ({e.code}); measuring cold",
+              file=sys.stderr)
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    tally_lock = threading.Lock()
     ok_lat: list[float] = []
     shed_lat: list[float] = []
     shed_codes: dict[int, int] = {}
     retry_afters: list[int] = []
+    conn_resets = [0]
     errors: list[str] = []
     max_pending = [0]
     stop_at = time.monotonic() + duration_s
@@ -163,23 +176,37 @@ def run_overload(
             t0 = time.perf_counter()
             try:
                 urllib.request.urlopen(req, timeout=600).read()
-                ok_lat.append(time.perf_counter() - t0)
+                with tally_lock:
+                    ok_lat.append(time.perf_counter() - t0)
             except urllib.error.HTTPError as e:
                 dt = time.perf_counter() - t0
                 if e.code in (429, 503):
-                    shed_lat.append(dt)
-                    shed_codes[e.code] = shed_codes.get(e.code, 0) + 1
                     ra = e.headers.get("Retry-After")
-                    if ra:
-                        retry_afters.append(int(ra))
+                    with tally_lock:
+                        shed_lat.append(dt)
+                        shed_codes[e.code] = shed_codes.get(e.code, 0) + 1
+                        if ra:
+                            retry_afters.append(int(ra))
                     e.read()
                 else:
-                    errors.append(f"HTTP {e.code}: {e.read()[:200]}")
+                    with tally_lock:
+                        errors.append(f"HTTP {e.code}: {e.read()[:200]}")
                     return
+            except (urllib.error.URLError, ConnectionError, OSError) as e:
+                # Expected under deliberate overload: the accept-time 503
+                # path (and a shed whose body exceeded the drain cap)
+                # close connections that can reset mid-exchange. Count,
+                # don't die — the run's purpose is measuring this regime.
+                with tally_lock:
+                    conn_resets[0] += 1
             except Exception as e:  # noqa: BLE001 — record, don't crash
-                errors.append(f"{type(e).__name__}: {e}")
+                with tally_lock:
+                    errors.append(f"{type(e).__name__}: {e}")
                 return
-            max_pending[0] = max(max_pending[0], server.batcher.pending_rows)
+            with tally_lock:
+                max_pending[0] = max(
+                    max_pending[0], server.batcher.pending_rows
+                )
 
     threads = [
         threading.Thread(target=client, args=(i,)) for i in range(n_clients)
@@ -212,6 +239,7 @@ def run_overload(
         "retry_after_s_median": (
             int(np.median(retry_afters)) if retry_afters else None
         ),
+        "conn_resets": conn_resets[0],
         "max_pending_rows_seen": max_pending[0],
         "budget_rows": server.batcher.max_pending_rows,
         "rss_delta_mb": round((rss1 - rss0) / 1024.0, 1),

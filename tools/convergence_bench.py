@@ -69,7 +69,7 @@ def make_split(
 
     hetero=True writes convhet_{split}.npz with BUILT-IN per-joint
     difficulty heterogeneity: joint j's blob is occluded with a fixed
-    probability ramping 0 -> 0.86 across the 24 joints (instead of the
+    probability ramping 0 -> 0.9 across the 24 joints (instead of the
     homogeneous "half the samples lose 12 random joints"). High-ramp
     joints carry persistently less image evidence, so their residuals
     CANNOT homogenize at convergence — the regime where per-joint
@@ -227,15 +227,32 @@ def main():
     if cands and not args.fresh:
         newest = max(cands, key=os.path.getmtime)
         sidecar = os.path.join(newest, "last.trainer.json")
-        if os.path.exists(sidecar):
+        try:
+            # The trainer removes and rewrites this sidecar every epoch
+            # (non-atomically), so a live writer can race this read —
+            # a torn/missing read IS a liveness signal, not a crash.
             with open(sidecar) as f:
                 done = int(json.load(f)["next_epoch"])
             resumable = (newest, done)
+        except FileNotFoundError:
+            done = None
+        except (json.JSONDecodeError, KeyError, ValueError) as e:
+            done = None
+            if not args.skip_train:
+                raise SystemExit(
+                    f"{sidecar} is unreadable mid-rewrite ({e}) — a "
+                    "training process is likely writing this logdir; "
+                    "wait for it (or pass --fresh to start a new run)"
+                )
+        if resumable is not None and not args.skip_train:
             # Liveness guard: a fresh metrics.jsonl means a writer may
             # still be training this logdir (e.g. a run that outlived
             # its session). Resuming under a live writer races orbax's
-            # delete-and-rewrite of "last"; refuse instead. (A FINISHED
-            # run is safe to evaluate regardless of mtime.)
+            # delete-and-rewrite of "last"; refuse instead. Scoped to
+            # the resume-training path: --skip_train is a read-only
+            # evaluation and must keep working under a live writer
+            # (it reads best_model, which is only replaced atomically
+            # between validations). A FINISHED run is safe regardless.
             import time as _time
 
             metrics = os.path.join(newest, "metrics.jsonl")
