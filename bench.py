@@ -19,7 +19,8 @@ tracked per round with spreads, so drifts are adjudicable).
 
 Env knobs: POCO_BENCH_BATCH (128), POCO_BENCH_ITERS (20),
 POCO_BENCH_CHAINS (5), POCO_BENCH_BF16 (1), POCO_BENCH_ONLY
-(cliff|pare|train_cliff|train_pare — single-metric mode for manual runs).
+(cliff|pare|train_cliff|train_pare|serving_loopback — single-metric
+mode for manual runs).
 """
 
 from __future__ import annotations
@@ -247,6 +248,71 @@ def bench_train_step(which: str, dtype) -> dict:
     )
 
 
+def bench_serving_loopback() -> dict:
+    """Weather-proof serving-PATH regression number (VERDICT r4 #5).
+
+    Runs tools/bench_serving.py --loopback in a subprocess: tiny backbone
+    forced onto XLA:CPU, in-process localhost HTTP — no axon tunnel in
+    the loop (the tunnel RTT swings 20x between sessions, so the chip
+    serving numbers cannot trend round over round; BENCHMARKS.md
+    "Serving under load"). The subprocess isolates the platform override
+    from this process's TPU backend. Protocol measured to the ≤5%-spread
+    bar on this 1-core host: 1 sequential client x 8-crop requests,
+    window 0 (no dead coalescence wait), GC off during windows, median
+    of 5 with bench-discipline outlier re-runs.
+    """
+    import subprocess
+    import sys
+
+    cmd = [
+        sys.executable, "tools/bench_serving.py", "--loopback",
+        "--combos", "1x8", "--requests-per-client", "150",
+        "--repeats", "5", "--window-ms", "0",
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        summary = None
+        for line in proc.stdout.splitlines():
+            if '"combo"' in line:
+                summary = json.loads(line)
+        if proc.returncode != 0 or summary is None:
+            raise RuntimeError(
+                f"rc={proc.returncode} stderr={proc.stderr[-400:]}"
+            )
+    except Exception as e:  # noqa: BLE001 — never cost the chip metrics
+        return {
+            "metric": "serving_loopback_crops_per_sec",
+            "value": None, "unit": "crops/s",
+            "error": f"{type(e).__name__}: {e}"[:400],
+        }
+    runs = sorted(summary["runs"])
+    spread = {
+        "n_chains": len(runs),
+        "min": round(runs[0], 2),
+        "max": round(runs[-1], 2),
+        "all": [round(s, 2) for s in runs],
+        "spread_pct": summary.get("spread_pct"),
+        "verdict": summary.get("verdict"),
+        "tol_pct": summary.get("tol_pct"),
+    }
+    if summary.get("outliers_rerun"):
+        spread["outliers_rerun"] = summary["outliers_rerun"]
+        spread["rerun_values"] = summary["rerun_values"]
+    return {
+        "metric": "serving_loopback_crops_per_sec",
+        "value": summary["median_crops_per_s"],
+        "unit": "crops/s",
+        # Its own trend anchor: the serving path has no per-chip
+        # baseline (the reference has no serving surface); r5 sets the
+        # first value, later rounds trend against it.
+        "vs_baseline": None,
+        "spread": spread,
+    }
+
+
 def _await_backend(max_tries: int = 5, sleep_s: float = 60.0) -> None:
     """Retry backend init through transient tunnel outages.
 
@@ -287,12 +353,16 @@ def main():
     if only in ("cliff", "pare"):
         print(json.dumps(bench_inference(only, dtype)))
         return
+    if only == "serving_loopback":
+        print(json.dumps(bench_serving_loopback()))
+        return
 
     headline = bench_inference("cliff", dtype)
     extras = [
         bench_inference("pare", dtype),
         bench_train_step("cliff", dtype),
         bench_train_step("pare", dtype),
+        bench_serving_loopback(),
     ]
     headline["extra_metrics"] = extras
     print(json.dumps(headline))

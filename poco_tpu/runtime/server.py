@@ -152,6 +152,11 @@ class MicroBatcher:
         self.request_count = 0
         self.dispatch_count = 0
         self.rejected_count = 0
+        # Server-side high-water mark of admitted rows: the budget-
+        # adherence gauge an overload bench reads AFTER the flood (a
+        # client-side sampler under-counts — it only sees the gauge
+        # between its own requests).
+        self.pending_rows_hwm = 0
         self._pending_rows = 0
         self._pending_lock = threading.Lock()
         # Smoothed device throughput (rows/s) for Retry-After estimates;
@@ -191,6 +196,8 @@ class MicroBatcher:
                     f"(budget {self.max_pending_rows})", retry,
                 )
             self._pending_rows += n
+            if self._pending_rows > self.pending_rows_hwm:
+                self.pending_rows_hwm = self._pending_rows
         item = {"batch": batch, "n": n,
                 "event": threading.Event(), "out": None, "err": None}
         self.request_count += 1
@@ -355,7 +362,11 @@ class _Handler(BaseHTTPRequestHandler):
                 "dispatches": b.dispatch_count,
                 "rejected": b.rejected_count,
                 "pending_rows": b.pending_rows,
+                "pending_rows_hwm": b.pending_rows_hwm,
                 "max_pending_rows": b.max_pending_rows,
+                "refused_at_accept": getattr(
+                    self.server, "refused_count", 0
+                ),
             })
         else:
             self._send_json(404, {"error": f"no route {self.path}"})

@@ -56,7 +56,17 @@ def run_combo(
     n_clients: int,
     crops_per_req: int,
     requests_per_client: int,
+    gc_off: bool = False,
 ) -> dict:
+    if gc_off:
+        # Loopback is a ≤5%-spread regression trend: a GC pause over the
+        # multi-MB npz buffers mid-window is protocol noise, not a path
+        # regression. Collect before the window and keep the collector
+        # off while timing.
+        import gc
+
+        gc.collect()
+        gc.disable()
     payloads = [
         _make_payload(crops_per_req, np.random.RandomState(100 + i))
         for i in range(n_clients)
@@ -99,6 +109,10 @@ def run_combo(
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
+    if gc_off:
+        import gc
+
+        gc.enable()
     if errors:
         raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
 
@@ -123,7 +137,8 @@ def run_combo(
 
 def run_overload(
     base: str,
-    server,
+    stats_fn,
+    rss_mb_fn,
     n_clients: int,
     crops_per_req: int,
     duration_s: float,
@@ -132,8 +147,14 @@ def run_overload(
     of the failure: rejected requests must fail in milliseconds (429/503
     + Retry-After), accepted ones must still complete, host memory must
     stay flat (bounded queue + bounded handler threads), and the
-    pending-row gauge must respect the configured budget."""
-    import resource
+    pending-row high-water mark must respect the configured budget.
+
+    `stats_fn()` returns the /healthz-shaped counter dict (read after
+    the flood); `rss_mb_fn()` returns the SERVER's peak RSS in MB —
+    with --server-subproc that is the server process alone, so the
+    memory verdict is not polluted by the flood clients' own payload
+    buffers living in the same process.
+    """
 
     payloads = [
         _make_payload(crops_per_req, np.random.RandomState(500 + i))
@@ -157,7 +178,7 @@ def run_overload(
         print(f"settle request shed ({e.code}); measuring cold",
               file=sys.stderr)
 
-    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rss0 = rss_mb_fn()
     tally_lock = threading.Lock()
     ok_lat: list[float] = []
     shed_lat: list[float] = []
@@ -165,7 +186,6 @@ def run_overload(
     retry_afters: list[int] = []
     conn_resets = [0]
     errors: list[str] = []
-    max_pending = [0]
     stop_at = time.monotonic() + duration_s
 
     def client(i: int) -> None:
@@ -203,10 +223,6 @@ def run_overload(
                 with tally_lock:
                     errors.append(f"{type(e).__name__}: {e}")
                 return
-            with tally_lock:
-                max_pending[0] = max(
-                    max_pending[0], server.batcher.pending_rows
-                )
 
     threads = [
         threading.Thread(target=client, args=(i,)) for i in range(n_clients)
@@ -217,7 +233,8 @@ def run_overload(
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rss1 = rss_mb_fn()
+    stats = stats_fn()
     if errors:
         raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
 
@@ -240,11 +257,67 @@ def run_overload(
             int(np.median(retry_afters)) if retry_afters else None
         ),
         "conn_resets": conn_resets[0],
-        "max_pending_rows_seen": max_pending[0],
-        "budget_rows": server.batcher.max_pending_rows,
-        "rss_delta_mb": round((rss1 - rss0) / 1024.0, 1),
-        "refused_at_accept": server.httpd.refused_count,
+        "pending_rows_hwm": stats["pending_rows_hwm"],
+        "budget_rows": stats["max_pending_rows"],
+        "rss_peak_delta_mb": round(rss1 - rss0, 1),
+        "refused_at_accept": stats["refused_at_accept"],
     }
+
+
+def _vm_hwm_mb(pid: int) -> float:
+    """Peak RSS (VmHWM) of a process, in MB, from /proc."""
+    with open(f"/proc/{pid}/status") as f:
+        for ln in f:
+            if ln.startswith("VmHWM:"):
+                return int(ln.split()[1]) / 1024.0
+    raise RuntimeError(f"no VmHWM in /proc/{pid}/status")
+
+
+def _spawn_server_subproc(artifact: str, args):
+    """Launch tools/serve_model.py on the artifact and wait for warmup.
+
+    Returns (proc, base_url). The separate process is what makes the
+    overload memory verdict meaningful: in-process, ru_maxrss counts the
+    flood clients' own payload buffers (256 clients x multi-MB bodies)
+    on top of the server's."""
+    import re
+    import subprocess
+
+    env = dict(os.environ)
+    if args.loopback:
+        env["POCO_TPU_PLATFORM"] = "cpu"
+    cmd = [
+        sys.executable, "tools/serve_model.py", "--artifact", artifact,
+        "--host", "127.0.0.1", "--port", "0",
+        "--batch-window-ms", str(args.window_ms),
+    ]
+    if args.max_pending_rows is not None:
+        cmd += ["--max-pending-rows", str(args.max_pending_rows)]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = proc.stdout.readline()
+    m = re.search(r"on 127\.0\.0\.1:(\d+)", line)
+    if not m:
+        proc.terminate()
+        raise RuntimeError(f"server did not announce a port: {line!r}")
+    base = f"http://127.0.0.1:{m.group(1)}"
+    # healthz answers only once the accept loop runs, i.e. after warmup
+    deadline = time.monotonic() + 600
+    while True:
+        try:
+            urllib.request.urlopen(f"{base}/healthz", timeout=5).read()
+            return proc, base
+        except Exception:  # noqa: BLE001 — retry until warm or dead
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"server subprocess died during warmup (rc={proc.returncode})"
+                ) from None
+            if time.monotonic() > deadline:
+                proc.terminate()
+                raise RuntimeError("server warmup timed out") from None
+            time.sleep(0.5)
 
 
 def main() -> None:
@@ -273,6 +346,15 @@ def main() -> None:
     ap.add_argument("--overload-clients", type=int, default=256)
     ap.add_argument("--overload-crops", type=int, default=16)
     ap.add_argument("--overload-duration", type=float, default=30.0)
+    ap.add_argument("--overload-floods", type=int, default=2,
+                    help="repeat the flood N times against the same "
+                         "server; a ~zero peak-RSS delta on flood 2+ is "
+                         "the memory-stays-flat proof (peak is monotonic)")
+    ap.add_argument("--server-subproc", action="store_true",
+                    help="run the server as its own process "
+                         "(tools/serve_model.py) so the overload memory "
+                         "verdict measures the SERVER's peak RSS, not "
+                         "the flood clients' buffers")
     ap.add_argument("--max-pending-rows", type=int, default=None)
     ap.add_argument("--loopback", action="store_true",
                     help="weather-proof serving-PATH number: tiny "
@@ -351,24 +433,63 @@ def main() -> None:
             print(f"exported -> {artifact} "
                   f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
 
-    loaded = load_exported(artifact)
+    _loaded_box: list = []
 
     def serve(window_ms: float) -> PocoServer:
-        s = PocoServer(loaded, port=0, batch_window_ms=window_ms,
+        # Lazy (--overload --server-subproc never serves in-process)
+        # but cached: the window sweep re-serves per setting and must
+        # not reload + re-upload the artifact each time.
+        if not _loaded_box:
+            _loaded_box.append(load_exported(artifact))
+        s = PocoServer(_loaded_box[0], port=0, batch_window_ms=window_ms,
                        max_pending_rows=args.max_pending_rows)
         return s.start(warmup=True)
 
     if args.overload:
-        server = serve(args.window_ms)
-        try:
-            row = run_overload(
-                f"http://127.0.0.1:{server.port}", server,
-                args.overload_clients, args.overload_crops,
-                args.overload_duration,
-            )
-        finally:
-            server.stop()
-        print(json.dumps(row), flush=True)
+        def _flood(base: str, stats_fn, rss_fn) -> None:
+            for i in range(args.overload_floods):
+                row = run_overload(
+                    base, stats_fn, rss_fn,
+                    args.overload_clients, args.overload_crops,
+                    args.overload_duration,
+                )
+                row["flood"] = i
+                print(json.dumps(row), flush=True)
+
+        if args.server_subproc:
+            proc, base = _spawn_server_subproc(artifact, args)
+            try:
+                def stats_fn() -> dict:
+                    with urllib.request.urlopen(
+                        f"{base}/healthz", timeout=60
+                    ) as r:
+                        return json.loads(r.read())
+
+                _flood(base, stats_fn, lambda: _vm_hwm_mb(proc.pid))
+            finally:
+                proc.terminate()
+                proc.wait(timeout=30)
+        else:
+            import resource
+
+            server = serve(args.window_ms)
+            try:
+                def stats_fn() -> dict:
+                    b = server.batcher
+                    return {
+                        "pending_rows_hwm": b.pending_rows_hwm,
+                        "max_pending_rows": b.max_pending_rows,
+                        "refused_at_accept": server.httpd.refused_count,
+                    }
+
+                _flood(
+                    f"http://127.0.0.1:{server.port}", stats_fn,
+                    lambda: resource.getrusage(
+                        resource.RUSAGE_SELF
+                    ).ru_maxrss / 1024.0,
+                )
+            finally:
+                server.stop()
         return
 
     if args.sweep_window:
@@ -395,7 +516,7 @@ def main() -> None:
             for r in range(args.repeats):
                 row = run_combo(
                     base, server.batcher, n_clients, crops,
-                    args.requests_per_client,
+                    args.requests_per_client, gc_off=args.loopback,
                 )
                 row = {"window_ms": args.window_ms, **row}
                 if args.repeats > 1:
@@ -403,6 +524,19 @@ def main() -> None:
                 print(json.dumps(row), flush=True)
                 runs.append(row["crops_per_s"])
             if args.repeats > 1:
+                # bench.py's self-adjudicating spread discipline: re-run
+                # runs deviating >5% from the median (the host shows
+                # ~4.5% raw compute jitter + nonzero VM steal time, so a
+                # single polluted window must not set the round's trend).
+                from bench import _adjudicate_chains
+
+                runs, adjudication = _adjudicate_chains(
+                    runs,
+                    lambda: run_combo(
+                        base, server.batcher, n_clients, crops,
+                        args.requests_per_client, gc_off=args.loopback,
+                    )["crops_per_s"],
+                )
                 med = float(np.median(runs))
                 spread = (max(runs) - min(runs)) / med * 100 if med else 0.0
                 print(json.dumps({
@@ -411,6 +545,7 @@ def main() -> None:
                     "median_crops_per_s": round(med, 1),
                     "spread_pct": round(spread, 2),
                     "runs": runs,
+                    **adjudication,
                 }), flush=True)
     finally:
         server.stop()
