@@ -69,6 +69,7 @@ class TestBackboneShapes:
         out = model.apply(variables, x)
         assert out.shape == (1, 2, 2, 512)
 
+    @pytest.mark.slow
     def test_hrnet_w32_pose_output(self):
         """Small-input HRNet-w32: (B, H/4, W/4, 480) concat output."""
         from poco_tpu.models.backbones.hrnet import hrnet_w32
@@ -81,6 +82,7 @@ class TestBackboneShapes:
         out = model.apply(variables, x)
         assert out.shape == (1, 16, 16, 480)
 
+    @pytest.mark.slow
     def test_hrnet_w48_cls_output(self):
         from poco_tpu.models.backbones.hrnet import hrnet_w48_cls
 
@@ -211,6 +213,7 @@ class TestLanePadding:
                 np.asarray(b), np.asarray(a), atol=3e-5
             )
 
+    @pytest.mark.slow
     def test_hrnet_w48_padded_matches_unpadded(self):
         import numpy as np
 
@@ -356,6 +359,7 @@ class TestS2DStem:
                 np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
             )
 
+    @pytest.mark.slow
     def test_hrnet_and_resnet_wire_s2d(self):
         """s2d variants produce the plain variants' outputs with the
         plain variants' params (full tiny forward)."""

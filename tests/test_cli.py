@@ -40,6 +40,7 @@ def smoke_data():
 
 
 class TestTrainCli:
+    @pytest.mark.slow
     def test_train_main_one_epoch(self, smoke_data, monkeypatch, tmp_path):
         _run_cli(
             "train.py",

@@ -282,6 +282,7 @@ class TestServer:
         assert out_arr["smpl_vertices"].shape[-1] == 3
         assert out_arr["pred_pose"].shape == (2, 24, 3, 3)
 
+    @pytest.mark.slow
     def test_export_cli_data_parallel(self, tmp_path):
         """--data_parallel N from the CLI: the subprocess must split its
         CPU host into N virtual devices itself and produce a loadable

@@ -219,6 +219,7 @@ def _assert_close(name, got, want, atol, rtol=1e-3):
     )
 
 
+@pytest.mark.slow
 class TestFullWidthCliff:
     """hrnet_w48_cls + cliff + poco_head(feat-pose-net) + nf_head."""
 
@@ -328,6 +329,7 @@ class TestFullWidthPareHeatmapModes:
         )
 
 
+@pytest.mark.slow
 class TestFullWidthPare:
     """hrnet_w32 + pare_head + poco_head(feat-pose) + nf_head(3 layers)."""
 

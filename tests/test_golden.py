@@ -194,6 +194,7 @@ class TestGoldenGateSelfCheck:
             f=np.asarray(p.faces),
         )
 
+    @pytest.mark.slow
     def test_gate_passes_on_synthetic_assets(self, tmp_path, monkeypatch,
                                              capsys):
         import json

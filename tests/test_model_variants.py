@@ -34,6 +34,7 @@ def _run_model(cfg: PocoConfig, train=True, batch=2):
 
 
 class TestModelVariants:
+    @pytest.mark.slow
     def test_sigma_dim_9(self):
         cfg = PocoConfig(
             backbone="tiny-cliff", sigma_dim=9, num_neurons=(64,),
@@ -43,6 +44,7 @@ class TestModelVariants:
         assert out["var_pose"].shape == (2, 24, 3, 3)
         assert out["log_phi"].shape == (2, 24)
 
+    @pytest.mark.slow
     def test_norm_flow_res_loss_ver(self):
         cfg = PocoConfig(
             backbone="tiny-cliff", loss_ver="norm_flow_res",
@@ -59,6 +61,7 @@ class TestModelVariants:
         out = _run_model(cfg)
         assert out["log_phi"].shape == (2, 1)
 
+    @pytest.mark.slow
     def test_exclude_uncert_idx_flow(self):
         cfg = PocoConfig(
             backbone="tiny-cliff", exclude_uncert_idx=(22, 23),

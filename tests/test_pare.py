@@ -188,6 +188,7 @@ class TestPareHead:
 
 
 class TestPocoPare:
+    @pytest.mark.slow
     def test_full_model_tiny_backbone(self):
         from poco_tpu.models.poco import build_poco_pare, init_poco, make_dummy_batch
         from poco_tpu.smpl.assets import synthetic_smpl_model

@@ -128,6 +128,7 @@ class TestOptimizer:
             },
         ],
     )
+    @pytest.mark.slow
     def test_fused_matches_optax(self, kwargs):
         """The flat-buffer fused Adam reproduces the optax
         multi_transform reference update-for-update."""
@@ -298,6 +299,7 @@ class TestTrainerEndToEnd:
         h.TESTING.SAVE_RESULTS = False
         return h
 
+    @pytest.mark.slow
     def test_kill_and_resume_reproduces_trajectory(self, tmp_path):
         """A run killed after 2 epochs and resumed from 'last' must
         reproduce the uninterrupted 4-epoch run exactly: same params,
@@ -358,6 +360,7 @@ class TestTrainerEndToEnd:
         # now honored).
         assert os.path.exists(str(tmp_path / "a" / "best_model_mpjpe_var"))
 
+    @pytest.mark.slow
     def test_resume_tolerates_legacy_opt_state_layouts(self, tmp_path):
         """Checkpoints written before the traced lr_scale existed (or
         before opt_state was saved at all) must still resume: the
@@ -429,6 +432,7 @@ class TestTrainerEndToEnd:
 
 
 class TestTrainerVizAndStats:
+    @pytest.mark.slow
     def test_save_images_and_uncert_stats(self, tmp_path):
         h = get_hparams_defaults()
         h.METHOD = "poco"
@@ -479,6 +483,7 @@ class TestUncertStatsTracker:
 
 
 class TestWarmStart:
+    @pytest.mark.slow
     def test_orbax_warm_start(self, tmp_path):
         """TRAINING.PRETRAINED warm start loads a prior checkpoint."""
         h = get_hparams_defaults()
@@ -524,6 +529,7 @@ class TestWarmStart:
 
 
 class TestUnevenBatchSharding:
+    @pytest.mark.slow
     def test_batch_smaller_than_mesh_pads(self, tmp_path):
         """batch_size 4 on an 8-device mesh: cyclic padding keeps SPMD valid."""
         h = get_hparams_defaults()
@@ -546,6 +552,7 @@ class TestUnevenBatchSharding:
 
 
 class TestSpmdEquivalence:
+    @pytest.mark.slow
     def test_train_step_identical_1_vs_8_devices(self):
         """One SPMD program = global-batch semantics: params, loss and BN
         running stats after a step are identical on 1 and 8 devices
@@ -591,6 +598,7 @@ class TestSpmdEquivalence:
 
 
 class TestRenderSegmLosses:
+    @pytest.mark.slow
     def test_render_and_segm_losses_active_in_step(self):
         """use_smpl_render_loss / use_smpl_segm_loss flags work end to end
         (PARE head produces pred_segm_mask, soft rasterizer the rest)."""
@@ -614,6 +622,7 @@ class TestRenderSegmLosses:
 
 
 class TestBf16Precision:
+    @pytest.mark.slow
     def test_precision_16_trains(self, tmp_path):
         h = get_hparams_defaults()
         h.LOG_DIR = str(tmp_path)
@@ -640,6 +649,7 @@ class TestBf16Precision:
 
 
 class TestTensorboardLogging:
+    @pytest.mark.slow
     def test_tb_events_written(self, tmp_path):
         pytest.importorskip("torch.utils.tensorboard")
         h = get_hparams_defaults()
@@ -690,6 +700,7 @@ class TestLrPlateau:
         trainer._maybe_reduce_lr_on_plateau(9.0)    # improves, no change
         assert trainer._current_lr == h.OPTIMIZER.LR * 0.5
 
+    @pytest.mark.slow
     def test_plateau_updates_lr_scale_without_tx_rebuild(self, tmp_path):
         """The fused optimizer's traced lr_scale lets the plateau
         scheduler change the LR without swapping the transformation —
@@ -760,6 +771,7 @@ class TestTopKRetention:
 
 
 class TestSpinMethodTraining:
+    @pytest.mark.slow
     def test_hmr_baseline_trains_and_validates(self, tmp_path):
         """METHOD=spin: HMR model + mse loss (no uncertainty/flow) through
         the full Trainer (reference METHOD=spin path)."""

@@ -213,6 +213,7 @@ def torch_and_flax(tmp_path_factory):
     return tm, fm, variables
 
 
+@pytest.mark.slow
 class TestParity:
     def test_raw_maps_match_torch(self, torch_and_flax):
         tm, fm, variables = torch_and_flax
