@@ -213,6 +213,7 @@ def run_webcam(args, tester):
         uncert_color=not args.no_uncert_color,
         display=args.display, render=not args.no_render,
         max_frames=args.max_frames,
+        pipeline=not args.stream_sequential,
     )
     print(
         f"poco stream: {stats['frames']} frames, "
@@ -306,6 +307,10 @@ def main():
                              "(replay mode) for --mode webcam")
     parser.add_argument("--max_frames", type=int, default=None,
                         help="stop the webcam stream after N frames")
+    parser.add_argument("--stream_sequential", action="store_true",
+                        help="disable the depth-1 dispatch-ahead stream "
+                             "pipeline (debug/attribution; outputs are "
+                             "bit-identical either way)")
     parser.add_argument("--render_crop", action="store_true",
                         help="render the overlay on the 224px crop "
                              "instead of the original frame")

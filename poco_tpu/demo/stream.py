@@ -108,12 +108,24 @@ def run_stream(
     display: bool = False,
     render: bool = True,
     max_frames: int | None = None,
+    pipeline: bool = True,
 ) -> dict[str, Any]:
     """Drive the fused per-frame pipeline over a frame source.
 
-    Returns latency statistics: per-frame end-to-end (detect + infer +
-    smooth + render) and model-only (the infer_frame dispatch+fetch),
-    both in milliseconds.
+    With `pipeline=True` (default) the loop runs a depth-1 dispatch-
+    ahead pipeline — the same pattern as the serving MicroBatcher:
+    frame N's device leg (upload + forward + fetch, which over the
+    remote-TPU tunnel is RTT-dominated) overlaps frame N+1's detection
+    and frame N-1's render, so throughput approaches
+    max(device leg, host work) instead of their sum. Results are
+    finalized strictly in frame order, so smoothing and rendering are
+    bit-identical to the sequential path (pipeline=False).
+
+    Returns latency statistics in milliseconds: per-frame end-to-end
+    (detect-start to render-done — under pipelining this spans one
+    pipeline slot) and model-only (dispatch to fetch-complete), plus
+    `fps` = frames / total wall time (the throughput the pipeline
+    improves).
     """
     from ..viz.renderer import get_vertex_colors
 
@@ -148,34 +160,27 @@ def run_stream(
             return x
         return np.asarray(f(t, x), x.dtype)
 
-    while frame is not None:
-        if max_frames is not None and n_frames >= max_frames:
-            break
-        t0 = time.perf_counter()
-        # A later frame may be larger than the first (mixed-size replay
-        # directories, stream resolution changes): grow the upload
-        # bucket — one extra compile for the new bucket, and the stream
-        # survives instead of crashing on the pad write.
-        bh, bw = _bucket_for(*frame.shape[:2])
-        bucket_hw = (max(bucket_hw[0], bh), max(bucket_hw[1], bw))
-        dets = tester.detector(frame)
-        t1 = time.perf_counter()
-        result = tester.infer_frame(frame, dets, bucket_hw)
-        t2 = time.perf_counter()
+    def _process(st: dict[str, Any]) -> None:
+        """Finalize one dispatched frame: fetch, smooth, render, log."""
+        nonlocal n_detections
+        result = tester.infer_frame_finalize(st["handle"])
+        t_fetched = time.perf_counter()
         if result:
             n_detections += len(result["bboxes"])
             if smooth:
                 # Primary person (first detection): streaming OneEuro on
                 # the rendered quantities. A re-detected stream has no
                 # stable track ids, so only the primary is filtered.
-                t = n_frames  # frame index as filter time base
+                # Frames are finalized strictly in order, so the filter
+                # state sequence is identical to the sequential path.
+                t = st["idx"]  # frame index as filter time base
                 for key in ("verts", "orig_cam", "smpl_joints2d"):
                     sm = _smooth(key, t, result[key][0])
                     result[key] = np.concatenate(
                         [sm[None], result[key][1:]], axis=0
                     )
             if render and (output_folder or display):
-                canvas = frame.copy()
+                canvas = st["frame"].copy()
                 var = result["var"]
                 for pi in range(len(result["bboxes"])):
                     vc = None
@@ -193,16 +198,45 @@ def run_stream(
                     import cv2
 
                     cv2.imwrite(
-                        osp.join(output_folder, f"stream_{n_frames:06d}.png"),
+                        osp.join(output_folder, f"stream_{st['idx']:06d}.png"),
                         canvas[:, :, ::-1],
                     )
                 if display:
                     tester._display_frame(canvas)
-        t3 = time.perf_counter()
-        lat_model.append((t2 - t1) * 1e3)
-        lat_e2e.append((t3 - t0) * 1e3)
+        t_done = time.perf_counter()
+        lat_model.append((t_fetched - st["t_disp"]) * 1e3)
+        lat_e2e.append((t_done - st["t0"]) * 1e3)
+
+    pend: dict[str, Any] | None = None
+    wall_t0 = time.perf_counter()
+    while frame is not None:
+        if max_frames is not None and n_frames >= max_frames:
+            break
+        t0 = time.perf_counter()
+        # A later frame may be larger than the first (mixed-size replay
+        # directories, stream resolution changes): grow the upload
+        # bucket — one extra compile for the new bucket, and the stream
+        # survives instead of crashing on the pad write.
+        bh, bw = _bucket_for(*frame.shape[:2])
+        bucket_hw = (max(bucket_hw[0], bh), max(bucket_hw[1], bw))
+        dets = tester.detector(frame)
+        t_disp = time.perf_counter()
+        handle = tester.infer_frame_dispatch(frame, dets, bucket_hw)
+        cur = {"handle": handle, "frame": frame, "idx": n_frames,
+               "t0": t0, "t_disp": t_disp}
+        if pipeline:
+            # Flush frame N-1 AFTER dispatching N: N's device leg now
+            # overlaps N-1's fetch+render and (next loop) N+1's detect.
+            if pend is not None:
+                _process(pend)
+            pend = cur
+        else:
+            _process(cur)
         n_frames += 1
         frame = source.read()
+    if pend is not None:
+        _process(pend)
+    wall = time.perf_counter() - wall_t0
 
     source.close()
     e2e = np.asarray(lat_e2e) if lat_e2e else np.asarray([np.nan])
@@ -210,9 +244,10 @@ def run_stream(
     return {
         "frames": n_frames,
         "detections": n_detections,
+        "pipelined": bool(pipeline),
         "e2e_ms_p50": round(float(np.percentile(e2e, 50)), 1),
         "e2e_ms_p90": round(float(np.percentile(e2e, 90)), 1),
         "model_ms_p50": round(float(np.percentile(mdl, 50)), 1),
         "model_ms_p90": round(float(np.percentile(mdl, 90)), 1),
-        "fps": round(1e3 / max(float(np.percentile(e2e, 50)), 1e-9), 2),
+        "fps": round(n_frames / max(wall, 1e-9), 2),
     }

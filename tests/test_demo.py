@@ -800,6 +800,31 @@ class TestStreamMode:
                     if f.startswith("stream_")]
         assert len(rendered) == 4
 
+    def test_pipelined_stream_matches_sequential(self, frame_folder,
+                                                 tmp_path):
+        """The depth-1 dispatch-ahead pipeline must be invisible in the
+        outputs: frames are finalized in order, so smoothing state and
+        rendered pngs are bit-identical to the sequential path."""
+        from poco_tpu.demo.stream import DirectoryFrameSource, run_stream
+
+        tester = _tiny_tester()
+        outs = {}
+        for mode, pipe in (("seq", False), ("pipe", True)):
+            out_dir = tmp_path / mode
+            stats = run_stream(
+                tester, DirectoryFrameSource(frame_folder),
+                output_folder=str(out_dir), smooth=True, pipeline=pipe,
+            )
+            assert stats["frames"] == 4
+            assert stats["pipelined"] is pipe
+            outs[mode] = {
+                f: (out_dir / f).read_bytes()
+                for f in sorted(os.listdir(out_dir))
+            }
+        assert list(outs["seq"]) == list(outs["pipe"])
+        for f in outs["seq"]:
+            assert outs["seq"][f] == outs["pipe"][f], f"{f} differs"
+
     def test_stream_smoothing_reduces_jitter(self, tmp_path):
         """The primary person's vertices through the streaming filter
         must be temporally smoother than the raw predictions on a
