@@ -58,15 +58,6 @@ def run_combo(
     requests_per_client: int,
     gc_off: bool = False,
 ) -> dict:
-    if gc_off:
-        # Loopback is a ≤5%-spread regression trend: a GC pause over the
-        # multi-MB npz buffers mid-window is protocol noise, not a path
-        # regression. Collect before the window and keep the collector
-        # off while timing.
-        import gc
-
-        gc.collect()
-        gc.disable()
     payloads = [
         _make_payload(crops_per_req, np.random.RandomState(100 + i))
         for i in range(n_clients)
@@ -103,6 +94,16 @@ def run_combo(
     threads = [
         threading.Thread(target=client, args=(i,)) for i in range(n_clients)
     ]
+    if gc_off:
+        # Loopback is a ≤5%-spread regression trend: a GC pause over the
+        # multi-MB npz buffers mid-window is protocol noise, not a path
+        # regression. Collect before the timed window and keep the
+        # collector off only WHILE timing (client errors are captured,
+        # not raised, inside the window — the enable always runs).
+        import gc
+
+        gc.collect()
+        gc.disable()
     t0 = time.perf_counter()
     for t in threads:
         t.start()
@@ -110,8 +111,6 @@ def run_combo(
         t.join()
     wall = time.perf_counter() - t0
     if gc_off:
-        import gc
-
         gc.enable()
     if errors:
         raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
