@@ -330,7 +330,32 @@ def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "poco-tpu-serve/1.0"
+    # HTTP/1.1 so `Expect: 100-continue` is honored (handle_expect_100
+    # below): an overloaded server then sheds BEFORE the client uploads
+    # its multi-MB body — the shed costs connect+headers, milliseconds,
+    # instead of an upload bounded by the server's drain pacing.
+    # Connection semantics stay one-request-per-connection (every
+    # handler sets close_connection), so the in-flight thread cap keeps
+    # meaning requests, not idle keep-alives.
+    protocol_version = "HTTP/1.1"
     model: ExportedPoco  # set on the server class
+
+    def handle_expect_100(self):
+        """Admission check at the Expect handshake (RFC 9110 §10.1.1).
+
+        Overloaded + /predict -> final 429 with Retry-After; the client
+        never sends the body. Otherwise 100 Continue as usual."""
+        if self.path == "/predict":
+            batcher = getattr(self.server, "batcher", None)
+            if batcher is not None:
+                retry = batcher.overloaded_precheck()
+                if retry is not None:
+                    self.close_connection = True
+                    self._send_429(
+                        retry, "server overloaded: admission budget full"
+                    )
+                    return False
+        return super().handle_expect_100()
 
     def _send(self, code: int, body: bytes, ctype: str) -> None:
         try:
@@ -349,6 +374,9 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
+        # one request per connection: an idle keep-alive must not hold
+        # an in-flight handler slot (HTTP/1.1 defaults to persistent)
+        self.close_connection = True
         if self.path == "/healthz":
             m = self.server.model  # type: ignore[attr-defined]
             b = self.server.batcher  # type: ignore[attr-defined]
@@ -399,6 +427,7 @@ class _Handler(BaseHTTPRequestHandler):
             pass
 
     def do_POST(self):
+        self.close_connection = True  # see do_GET
         if self.path != "/predict":
             self._send_json(404, {"error": f"no route {self.path}"})
             return

@@ -612,6 +612,77 @@ class TestBackpressure:
         finally:
             server.stop()
 
+    def test_expect_100_shed_before_upload(self, artifact):
+        """`Expect: 100-continue` (RFC 9110): an overloaded server must
+        answer 429 at the header handshake — the client never uploads
+        the body — and a non-overloaded one must send 100 Continue and
+        then process the body normally."""
+        import socket
+
+        from poco_tpu.runtime.server import PocoServer
+
+        def _probe(port: int, body: bytes | None, body_len: int):
+            """Send headers with Expect; return (interim_or_final_head,
+            final_head_or_None, payload_bytes)."""
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            try:
+                s.sendall(
+                    b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                    b"Content-Length: " + str(body_len).encode() + b"\r\n"
+                    b"Expect: 100-continue\r\nConnection: close\r\n\r\n"
+                )
+                data = b""
+                while b"\r\n\r\n" not in data:
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    data += chunk
+                head, rest = data.split(b"\r\n\r\n", 1)
+                if body is None:
+                    return head.decode("latin1"), None, rest
+                s.sendall(body)
+                while True:
+                    chunk = s.recv(1 << 20)
+                    if not chunk:
+                        break
+                    rest += chunk
+                final_head, payload = rest.split(b"\r\n\r\n", 1)
+                return head.decode("latin1"), final_head.decode(
+                    "latin1"
+                ), payload
+            finally:
+                s.close()
+
+        buf = io.BytesIO()
+        np.savez(buf, img=np.zeros((1, 224, 224, 3), np.float32))
+        body = buf.getvalue()
+
+        # Overloaded: 429 at the handshake, no body ever sent.
+        server = PocoServer(artifact, port=0, max_pending_rows=0)
+        server.start(warmup=False)
+        try:
+            head, _, _ = _probe(server.port, None, len(body))
+            assert " 429 " in head.split("\r\n")[0] + " "
+            assert any(
+                ln.lower().startswith("retry-after:")
+                for ln in head.split("\r\n")
+            )
+            assert server.batcher.rejected_count == 1
+        finally:
+            server.stop()
+
+        # Healthy: 100 Continue handshake, then a normal 200 npz.
+        server = PocoServer(artifact, port=0)
+        server.start(warmup=False)
+        try:
+            interim, final, payload = _probe(server.port, body, len(body))
+            assert "100" in interim.split("\r\n")[0]
+            assert " 200 " in final.split("\r\n")[0] + " "
+            out = np.load(io.BytesIO(payload))
+            assert "pred_pose" in out.files
+        finally:
+            server.stop()
+
     def test_http_503_at_handler_cap(self, artifact):
         import urllib.error
 

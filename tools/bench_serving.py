@@ -229,6 +229,24 @@ def run_overload(
     t0 = time.perf_counter()
     for t in threads:
         t.start()
+    # Expect-probe phase: while the flood saturates the budget, measure
+    # the decision latency of Expect: 100-continue sheds — rejection
+    # WITHOUT the multi-MB upload (see expect_shed_probe).
+    time.sleep(min(2.0, duration_s / 4))
+    host, port = base.split("//", 1)[1].split(":")
+    probe_lat: list[float] = []
+    probe_shed = 0
+    body_len = len(payloads[0])
+    for _ in range(50):
+        if time.monotonic() >= stop_at:
+            break
+        try:
+            status, dt, _ra = expect_shed_probe(host, int(port), body_len)
+        except OSError:
+            continue  # accept-time 503 reset under the herd: not a probe
+        if status in (429, 503):
+            probe_shed += 1
+            probe_lat.append(dt)
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
@@ -256,11 +274,58 @@ def run_overload(
             int(np.median(retry_afters)) if retry_afters else None
         ),
         "conn_resets": conn_resets[0],
+        "expect_probes_shed": probe_shed,
+        "expect_shed_p50_ms": (
+            round(float(np.percentile(probe_lat, 50)) * 1e3, 2)
+            if probe_lat else None
+        ),
+        "expect_shed_p99_ms": (
+            round(float(np.percentile(probe_lat, 99)) * 1e3, 2)
+            if probe_lat else None
+        ),
         "pending_rows_hwm": stats["pending_rows_hwm"],
         "budget_rows": stats["max_pending_rows"],
         "rss_peak_delta_mb": round(rss1 - rss0, 1),
         "refused_at_accept": stats["refused_at_accept"],
     }
+
+
+def expect_shed_probe(
+    host: str, port: int, body_len: int, timeout: float = 30.0
+) -> tuple[int, float, int | None]:
+    """Raw HTTP/1.1 POST with `Expect: 100-continue` (RFC 9110).
+
+    Returns (status, seconds_to_decision, retry_after). On a shed (429)
+    the body was NEVER sent — the decision latency is connect+headers,
+    the true cost of rejection, with no upload/drain pacing in it.
+    (urllib cannot send Expect, hence the raw socket.)"""
+    import socket
+
+    s = socket.create_connection((host, port), timeout=timeout)
+    try:
+        req = (
+            f"POST /predict HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Length: {body_len}\r\n"
+            f"Expect: 100-continue\r\nConnection: close\r\n\r\n"
+        )
+        t0 = time.perf_counter()
+        s.sendall(req.encode())
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        dt = time.perf_counter() - t0
+        head = data.split(b"\r\n\r\n", 1)[0].decode("latin1", "replace")
+        status = int(head.split()[1])
+        retry_after = None
+        for ln in head.split("\r\n"):
+            if ln.lower().startswith("retry-after:"):
+                retry_after = int(ln.split(":", 1)[1])
+        return status, dt, retry_after
+    finally:
+        s.close()
 
 
 def _vm_hwm_mb(pid: int) -> float:
