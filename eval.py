@@ -29,6 +29,14 @@ def main():
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--out", default=None, help="report json path")
     parser.add_argument(
+        "--flip_test", action="store_true",
+        help="horizontal-flip test-time augmentation (the reference "
+             "intended this via its nonexistent TestAugDataset import, "
+             "pocolib/core/trainer.py:24): flipped crop through the "
+             "same program, rotations un-flipped + SO(3)-averaged, one "
+             "extra SMPL pass; ~2x eval compute",
+    )
+    parser.add_argument(
         "--dist", action="store_true",
         help="initialize jax.distributed with auto-detected pod "
              "topology for a multi-host eval (explicit topology via "
@@ -130,6 +138,7 @@ def main():
         batch_size=args.batch_size,
         loss_ver=hparams.POCO.LOSS_VER,
         j_regressor_eval=j_reg,
+        flip_test=args.flip_test,
     )
     summary = result.summary()
     report = pw3d_split_report(

@@ -37,6 +37,7 @@ from .uncertainty import prepare_uncert
 def make_gendered_eval_step(
     model,
     j_regressor_eval: jnp.ndarray | None = None,
+    flip_test: bool = False,
 ):
     """Jitted eval step with on-device gendered GT mesh generation.
 
@@ -44,6 +45,17 @@ def make_gendered_eval_step(
         model: POCO flax module.
         j_regressor_eval: optional (17, V) H36M regressor; if None, the
             14 common joints are taken from the SMPL skeleton directly.
+        flip_test: horizontal-flip test-time augmentation. The reference
+            INTENDED this (`TestAugDataset`, a nonexistent import at
+            pocolib/core/trainer.py:24 — shipped broken); here it is one
+            SPMD program: the flipped crop runs through the same forward,
+            the mirrored pose is un-flipped by conjugation with
+            S=diag(1,-1,-1) under the SMPL left/right joint permutation
+            (the rotmat form of the reference's axis-angle flip rule,
+            constants.py:104-114), the two rotations are chordally
+            averaged and projected back to SO(3) by batched SVD, betas
+            averaged, and ONE extra SMPL pass produces the evaluated
+            mesh. Costs 2x backbone+head + 1 LBS per batch.
     Returns:
         step(variables, batch, smpl_neutral, smpl_male, smpl_female)
         -> per-sample metric dict. Batch needs img/bbox fields plus
@@ -54,6 +66,35 @@ def make_gendered_eval_step(
              smpl_f: SmplParams):
         out = model.apply(variables, batch, smpl_n, train=False)
         pred_verts = out["smpl_vertices"]
+        pred_pose_eval = out["pred_pose"]
+        pred_shape_eval = out["pred_shape"]
+
+        if flip_test:
+            fb = dict(batch)
+            fb["img"] = batch["img"][:, :, ::-1, :]
+            if "bbox_info" in fb:
+                # CLIFF conditioning under mirror: cx negates, cy and
+                # scale terms are mirror-invariant (image_utils.py:174-187)
+                fb["bbox_info"] = fb["bbox_info"] * jnp.asarray(
+                    [-1.0, 1.0, 1.0], fb["bbox_info"].dtype
+                )
+            if "center" in fb and "orig_shape" in fb:
+                w = fb["orig_shape"][:, 1]
+                fb["center"] = jnp.stack(
+                    [w - fb["center"][:, 0], fb["center"][:, 1]], axis=1
+                )
+            out_flip = model.apply(variables, fb, smpl_n, train=False)
+            from ..ops.rotation import average_rotmats, flip_pose_rotmat
+
+            pred_pose_eval = average_rotmats(
+                out["pred_pose"], flip_pose_rotmat(out_flip["pred_pose"])
+            )
+            pred_shape_eval = 0.5 * (
+                out["pred_shape"] + out_flip["pred_shape"]
+            )
+            pred_verts = smpl_forward(
+                smpl_n, pred_shape_eval, pred_pose_eval
+            ).vertices
 
         bsz = batch["pose"].shape[0]
         gt_rotmat = axis_angle_to_rotmat(
@@ -87,7 +128,7 @@ def make_gendered_eval_step(
             # Hip-midpoint pelvis (positions 2/3 in LSP order), matching
             # train/step.py's fallback and keypoint_3d_loss.
             sel = jnp.asarray(SMPL_J24_TO_COMMON_J14)
-            pred_out = smpl_forward(smpl_n, out["pred_shape"], out["pred_pose"])
+            pred_out = smpl_forward(smpl_n, pred_shape_eval, pred_pose_eval)
             pred_j = pred_out.joints_lbs[:, sel]
             gt_j = gt_joints24[:, sel]
             pred_j14 = pred_j - (pred_j[:, 2:3] + pred_j[:, 3:4]) / 2.0
@@ -107,7 +148,7 @@ def make_gendered_eval_step(
             # calculate_distance_pose: elementwise rotmat MSE, mean over
             # the 3x3).
             metrics["pose_dist"] = jnp.mean(
-                (out["pred_pose"] - gt_rotmat) ** 2, axis=(-1, -2)
+                (pred_pose_eval - gt_rotmat) ** 2, axis=(-1, -2)
             )
         return metrics
 
@@ -216,6 +257,7 @@ def run_eval(
     loss_ver: str = "norm_flow_res_gaus",
     j_regressor_eval: jnp.ndarray | None = None,
     max_batches: int | None = None,
+    flip_test: bool = False,
 ) -> EvalResult:
     """Evaluate a dataset, sharding each padded batch over the mesh."""
     from ..data.dataset import DataLoader
@@ -223,7 +265,9 @@ def run_eval(
     smpl_male = smpl_male or smpl_neutral
     smpl_female = smpl_female or smpl_neutral
     mesh = mesh or make_mesh()
-    step = make_gendered_eval_step(model, j_regressor_eval)
+    step = make_gendered_eval_step(
+        model, j_regressor_eval, flip_test=flip_test
+    )
 
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=False, drop_last=False

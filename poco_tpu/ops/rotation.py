@@ -165,3 +165,42 @@ def rotmat_to_rot6d(rot: jnp.ndarray) -> jnp.ndarray:
     that all reference heads actually use.)
     """
     return rot[..., :, :2].reshape(rot.shape[:-2] + (6,))
+
+
+def flip_pose_rotmat(rot: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal-flip rule for an SMPL pose in rotmat form (B, 24, 3, 3).
+
+    The rotmat form of the reference's axis-angle flip (swap left/right
+    joints, negate the y/z components; pocolib/core/constants.py:104-114,
+    applied in base_dataset.pose_processing): conjugation by
+    S = diag(1, -1, -1) — a rotation by pi about x, so the result stays
+    in SO(3) exactly — under the SMPL left/right joint permutation.
+    An involution: flip(flip(R)) == R.
+    """
+    import jax
+
+    from ..constants import SMPL_JOINTS_FLIP_PERM
+
+    s = jnp.diag(jnp.asarray([1.0, -1.0, -1.0], rot.dtype))
+    perm = jnp.asarray(SMPL_JOINTS_FLIP_PERM)
+    return jnp.einsum(
+        "ij,bnjk,kl->bnil", s, rot[:, perm], s,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def average_rotmats(ra: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
+    """Chordal mean of two rotation batches (..., 3, 3) -> SO(3).
+
+    Arithmetic mean projected back to SO(3) by batched SVD with the
+    usual det sign fix — the Frobenius-nearest rotation to the mean,
+    i.e. the chordal L2 rotation average. average(R, R) == R.
+    """
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    m = 0.5 * (ra + rb)
+    u, _, vh = jnp.linalg.svd(m)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vh, precision=hi))
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    return jnp.einsum("...ij,...j,...jk->...ik", u, d, vh, precision=hi)

@@ -448,8 +448,19 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", "0"))
             body = self.rfile.read(length)
-            with np.load(io.BytesIO(body)) as z:
-                arrays = {k: z[k] for k in z.files}
+            try:
+                with np.load(io.BytesIO(body)) as z:
+                    arrays = {k: z[k] for k in z.files}
+            except Exception as e:  # noqa: BLE001 — any parse failure
+                # is the client's malformed body (empty -> EOFError,
+                # truncated zip -> BadZipFile, pickled -> ValueError):
+                # a 400, never a 500
+                self._send_json(
+                    400,
+                    {"error":
+                     f"malformed npz body: {type(e).__name__}: {e}"},
+                )
+                return
             model = self.server.model  # type: ignore[attr-defined]
             out = self.server.batcher.submit(  # type: ignore[attr-defined]
                 prepare_request_batch(model, arrays)

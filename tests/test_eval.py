@@ -203,6 +203,83 @@ class TestEvalRunner:
             str(root / "ann.npz"), img_dir=str(root), is_train=False
         )
 
+    def test_flip_tta_recovers_equivariant_prediction(self):
+        """For a perfectly flip-equivariant model, flip-TTA must be a
+        no-op that equals ground truth exactly: the mirrored image
+        depicts flip(R), the step un-flips it back to R, and
+        average(R, R) = R. Proves the un-flip conjugation + SO(3)
+        average against the axis-angle flip rule end to end."""
+        from poco_tpu.constants import SMPL_JOINTS_FLIP_PERM
+        from poco_tpu.eval.runner import make_gendered_eval_step
+        from poco_tpu.smpl.assets import synthetic_smpl_model
+        from poco_tpu.smpl.lbs import smpl_forward
+
+        smpl = synthetic_smpl_model(num_verts=96)
+        B, H, W = 4, 32, 48
+        rng = np.random.RandomState(7)
+        aa = rng.uniform(-0.4, 0.4, (B, 24, 3)).astype(np.float32)
+
+        img = np.zeros((B, H, W, 3), np.float32)
+        img[:, 0, :24, :] = aa          # pose encoded in the image
+        img[:, 1, 0, 0] = 1.0           # original-orientation sentinel
+        perm = np.asarray(SMPL_JOINTS_FLIP_PERM)
+
+        class EquivariantStub:
+            """Reads the pose DEPICTED in the (possibly mirrored)
+            image: the flipped image depicts the mirrored person, so an
+            ideal model reports flip(R) for it."""
+
+            def apply(self, variables, batch, smpl_params, train=False):
+                im = batch["img"]
+                flag = im[:, 1, 0, 0][:, None, None]  # 1=orig, 0=flip
+                dec_orig = im[:, 0, :24, :]
+                dec_mirror = im[:, 0, W - 24:, :][:, ::-1, :]
+                aa_flip = dec_mirror[:, perm, :] * jnp.asarray(
+                    [1.0, -1.0, -1.0]
+                )
+                dec = flag * dec_orig + (1.0 - flag) * aa_flip
+                rot = axis_angle_to_rotmat(dec.reshape(-1, 3)).reshape(
+                    -1, 24, 3, 3
+                )
+                shape = jnp.zeros((dec.shape[0], 10))
+                verts = smpl_forward(smpl_params, shape, rot).vertices
+                return {
+                    "smpl_vertices": verts,
+                    "pred_pose": rot,
+                    "pred_shape": shape,
+                }
+
+        step = make_gendered_eval_step(EquivariantStub(), flip_test=True)
+        batch = {
+            "img": jnp.asarray(img),
+            "pose": jnp.asarray(aa.reshape(B, 72)),
+            "betas": jnp.zeros((B, 10)),
+            "gender": -jnp.ones((B,), jnp.int32),
+        }
+        m = step({}, batch, smpl, smpl, smpl)
+        np.testing.assert_allclose(np.asarray(m["mpjpe"]), 0.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m["v2v"]), 0.0, atol=1e-4)
+
+    def test_run_eval_flip_test_smoke(self, tiny_eval_dataset):
+        """--flip_test through the sharded runner: finite metrics,
+        aligned counts, real model."""
+        from poco_tpu.eval.runner import run_eval
+        from poco_tpu.models.poco import build_poco_cliff, init_poco
+        from poco_tpu.parallel.mesh import make_mesh
+        from poco_tpu.smpl.assets import synthetic_smpl_model
+
+        model = build_poco_cliff(backbone="tiny-cliff")
+        smpl = synthetic_smpl_model(num_verts=96)
+        variables = init_poco(model, jax.random.PRNGKey(0), smpl)
+        result = run_eval(
+            model, variables, tiny_eval_dataset,
+            smpl_neutral=smpl, batch_size=4, mesh=make_mesh(),
+            flip_test=True,
+        )
+        assert len(result.mpjpe_mm) == 8
+        assert np.all(np.isfinite(result.mpjpe_mm))
+        assert np.all(np.isfinite(result.v2v_mm))
+
     def test_sharded_eval_and_report(self, tiny_eval_dataset):
         from poco_tpu.eval.runner import pw3d_split_report, run_eval
         from poco_tpu.models.poco import build_poco_cliff, init_poco

@@ -236,12 +236,16 @@ class TestServer:
             assert out["pred_pose"].shape == (3, 24, 3, 3)
             assert out["smpl_vertices"].shape[0] == 3
 
-            bad = urllib.request.Request(
-                f"{base}/predict", data=b"not-npz", method="POST"
-            )
-            with pytest.raises(urllib.error.HTTPError) as e:
-                urllib.request.urlopen(bad, timeout=30)
-            assert e.value.code == 400  # malformed npz -> client error
+            # Every malformed-body class is the CLIENT's error: 400,
+            # never 500 (empty -> EOFError, truncated zip -> BadZipFile,
+            # pickled-looking bytes -> ValueError — all from np.load)
+            for payload in (b"not-npz", b"", b"PK\x03\x04truncated"):
+                bad = urllib.request.Request(
+                    f"{base}/predict", data=payload, method="POST"
+                )
+                with pytest.raises(urllib.error.HTTPError) as e:
+                    urllib.request.urlopen(bad, timeout=30)
+                assert e.value.code == 400, payload
         finally:
             server.stop()
 

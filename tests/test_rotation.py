@@ -149,3 +149,67 @@ class TestQuat:
             jnp.zeros((2, 3)) + 1e-4
         )
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestFlipAndAverage:
+    """flip_pose_rotmat / average_rotmats — the flip-TTA math
+    (eval/runner.py flip_test; reference intended TTA via the broken
+    TestAugDataset import, pocolib/core/trainer.py:24)."""
+
+    def test_flip_matches_axis_angle_rule(self):
+        from poco_tpu.constants import SMPL_JOINTS_FLIP_PERM
+        from poco_tpu.ops.rotation import flip_pose_rotmat
+
+        rng = np.random.RandomState(11)
+        aa = rng.uniform(-1.5, 1.5, (3, 24, 3)).astype(np.float32)
+        rot = np.asarray(
+            R.axis_angle_to_rotmat(jnp.asarray(aa.reshape(-1, 3)))
+        ).reshape(3, 24, 3, 3)
+        # reference rule: swap L/R joints, negate y/z axis-angle comps
+        aa_ref = aa[:, np.asarray(SMPL_JOINTS_FLIP_PERM)] * np.asarray(
+            [1.0, -1.0, -1.0], np.float32
+        )
+        rot_ref = np.asarray(
+            R.axis_angle_to_rotmat(jnp.asarray(aa_ref.reshape(-1, 3)))
+        ).reshape(3, 24, 3, 3)
+        np.testing.assert_allclose(
+            np.asarray(flip_pose_rotmat(jnp.asarray(rot))), rot_ref,
+            atol=1e-5,
+        )
+
+    def test_flip_is_involution_and_stays_so3(self):
+        from poco_tpu.ops.rotation import flip_pose_rotmat
+
+        rng = np.random.RandomState(12)
+        aa = rng.uniform(-2.0, 2.0, (2, 24, 3)).astype(np.float32)
+        rot = np.asarray(
+            R.axis_angle_to_rotmat(jnp.asarray(aa.reshape(-1, 3)))
+        ).reshape(2, 24, 3, 3)
+        f = np.asarray(flip_pose_rotmat(jnp.asarray(rot)))
+        ff = np.asarray(flip_pose_rotmat(jnp.asarray(f)))
+        np.testing.assert_allclose(ff, rot, atol=1e-5)
+        eye = np.einsum("bnij,bnkj->bnik", f, f)
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(3), f.shape), atol=1e-5
+        )
+        np.testing.assert_allclose(np.linalg.det(f), 1.0, atol=1e-5)
+
+    def test_average_fixed_point_and_halfway(self):
+        from poco_tpu.ops.rotation import average_rotmats
+
+        rng = np.random.RandomState(13)
+        aa = rng.uniform(-1.0, 1.0, (5, 3)).astype(np.float32)
+        rot = np.asarray(R.axis_angle_to_rotmat(jnp.asarray(aa)))
+        same = np.asarray(
+            average_rotmats(jnp.asarray(rot), jnp.asarray(rot))
+        )
+        np.testing.assert_allclose(same, rot, atol=1e-5)
+
+        # same axis, angles t1/t2 -> chordal mean is the (t1+t2)/2 rotation
+        axis = np.asarray([0.0, 0.0, 1.0], np.float32)
+        r1 = np.asarray(R.axis_angle_to_rotmat(jnp.asarray(0.3 * axis)[None]))
+        r2 = np.asarray(R.axis_angle_to_rotmat(jnp.asarray(0.9 * axis)[None]))
+        mid = np.asarray(R.axis_angle_to_rotmat(jnp.asarray(0.6 * axis)[None]))
+        avg = np.asarray(average_rotmats(jnp.asarray(r1), jnp.asarray(r2)))
+        np.testing.assert_allclose(avg, mid, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(avg), 1.0, atol=1e-5)
