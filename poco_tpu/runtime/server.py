@@ -162,6 +162,11 @@ class MicroBatcher:
         # Smoothed device throughput (rows/s) for Retry-After estimates;
         # seeded pessimistically so a cold server suggests a real wait.
         self._rows_per_s = 100.0
+        # Rolling per-wave dispatch->fetch latencies for /healthz
+        # observability (bounded; appended by the single worker thread).
+        import collections
+
+        self._wave_lat: collections.deque = collections.deque(maxlen=256)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -169,6 +174,23 @@ class MicroBatcher:
     @property
     def pending_rows(self) -> int:
         return self._pending_rows
+
+    def latency_stats(self) -> dict:
+        """Rolling wave latency for /healthz: p50/p99 of the last <=256
+        device waves (dispatch to fetch-complete, ms) + the smoothed
+        rows/s throughput behind Retry-After estimates."""
+        lat = sorted(self._wave_lat)
+        if not lat:
+            return {"waves_measured": 0, "rows_per_s": round(
+                self._rows_per_s, 1)}
+        def pct(p: float) -> float:
+            return lat[min(int(p * (len(lat) - 1) + 0.5), len(lat) - 1)]
+        return {
+            "waves_measured": len(lat),
+            "wave_p50_ms": round(pct(0.50) * 1e3, 2),
+            "wave_p99_ms": round(pct(0.99) * 1e3, 2),
+            "rows_per_s": round(self._rows_per_s, 1),
+        }
 
     def overloaded_precheck(self) -> float | None:
         """Cheap pre-admission probe: if the budget is already full,
@@ -290,6 +312,7 @@ class MicroBatcher:
                 dt = max(time.monotonic() - t_dispatch, 1e-6)
                 # EMA of device throughput feeding Retry-After estimates
                 self._rows_per_s = 0.7 * self._rows_per_s + 0.3 * (rows / dt)
+                self._wave_lat.append(dt)
             offset = 0
             for it in items:
                 it["out"] = {
@@ -395,6 +418,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "refused_at_accept": getattr(
                     self.server, "refused_count", 0
                 ),
+                **b.latency_stats(),
             })
         else:
             self._send_json(404, {"error": f"no route {self.path}"})

@@ -236,6 +236,13 @@ class TestServer:
             assert out["pred_pose"].shape == (3, 24, 3, 3)
             assert out["smpl_vertices"].shape[0] == 3
 
+            # /healthz observability: rolling wave latency is live
+            health = json.loads(urllib.request.urlopen(
+                f"{base}/healthz", timeout=30).read())
+            assert health["waves_measured"] >= 1
+            assert health["wave_p50_ms"] > 0
+            assert health["rows_per_s"] > 0
+
             # Every malformed-body class is the CLIENT's error: 400,
             # never 500 (empty -> EOFError, truncated zip -> BadZipFile,
             # pickled-looking bytes -> ValueError — all from np.load)
