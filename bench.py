@@ -337,13 +337,18 @@ def _await_backend(max_tries: int = 5, sleep_s: float = 60.0) -> None:
 
 
 def main():
+    only = os.environ.get("POCO_BENCH_ONLY", "")
+    if only == "serving_loopback":
+        # CPU-only by construction — must not require the TPU tunnel
+        # (this metric exists precisely for tunnel-outage weather).
+        print(json.dumps(bench_serving_loopback()))
+        return
     _await_backend()
     dtype = (
         jnp.bfloat16
         if os.environ.get("POCO_BENCH_BF16", "1") == "1"
         else jnp.float32
     )
-    only = os.environ.get("POCO_BENCH_ONLY", "")
     if only in ("train", "train_cliff"):
         print(json.dumps(bench_train_step("cliff", dtype)))
         return
@@ -352,9 +357,6 @@ def main():
         return
     if only in ("cliff", "pare"):
         print(json.dumps(bench_inference(only, dtype)))
-        return
-    if only == "serving_loopback":
-        print(json.dumps(bench_serving_loopback()))
         return
 
     headline = bench_inference("cliff", dtype)

@@ -158,8 +158,11 @@ class PocoTester:
                 if v is None:
                     continue
                 v = v[:n]
-                if k in ("smpl_vertices", "smpl_joints3d",
-                         "smpl_joints2d"):
+                # fp16 only for METRIC-space outputs (<=1 mm at body
+                # scale). smpl_joints2d stays fp32: CLIFF returns it in
+                # full-image PIXELS, where fp16 ulp at x~3000 (a 4K
+                # frame) is 2 px — visible overlay jitter.
+                if k in ("smpl_vertices", "smpl_joints3d"):
                     v = v.astype(jnp.float16)
                 keep[k] = v
             return keep

@@ -146,9 +146,14 @@ def make_gendered_eval_step(
             # Per-joint rotation-space distance — the x-vector of the
             # reference's calibration Pearson (eval_utils.py:154-160
             # calculate_distance_pose: elementwise rotmat MSE, mean over
-            # the 3x3).
+            # the 3x3). ALWAYS the primary pass's pose, even under
+            # flip_test: sigma was trained to scale the single-pass
+            # residual, so pairing it with the TTA-averaged residual
+            # would shift the calibration metric for reasons unrelated
+            # to calibration (accuracy metrics above do use the TTA
+            # prediction).
             metrics["pose_dist"] = jnp.mean(
-                (pred_pose_eval - gt_rotmat) ** 2, axis=(-1, -2)
+                (out["pred_pose"] - gt_rotmat) ** 2, axis=(-1, -2)
             )
         return metrics
 

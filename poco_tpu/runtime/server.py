@@ -175,6 +175,16 @@ class MicroBatcher:
     def pending_rows(self) -> int:
         return self._pending_rows
 
+    def reset_stats(self) -> None:
+        """Zero the observability counters (rejected count, pending-row
+        high-water mark, wave latencies) so a measurement window reads
+        its OWN behavior, not the all-time peak. Admission state itself
+        (pending rows, budget) is untouched."""
+        with self._pending_lock:
+            self.pending_rows_hwm = self._pending_rows
+        self.rejected_count = 0
+        self._wave_lat.clear()
+
     def latency_stats(self) -> dict:
         """Rolling wave latency for /healthz: p50/p99 of the last <=256
         device waves (dispatch to fetch-complete, ms) + the smoothed
@@ -452,6 +462,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         self.close_connection = True  # see do_GET
+        if self.path == "/stats/reset":
+            # Observability window reset (per-flood benches): counters
+            # only, never admission state.
+            self.server.batcher.reset_stats()  # type: ignore[attr-defined]
+            if hasattr(self.server, "refused_count"):
+                self.server.refused_count = 0
+            self._send_json(200, {"status": "reset"})
+            return
         if self.path != "/predict":
             self._send_json(404, {"error": f"no route {self.path}"})
             return

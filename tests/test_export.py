@@ -620,6 +620,23 @@ class TestBackpressure:
             )
             assert health["rejected"] == 1
             assert health["max_pending_rows"] == 0
+
+            # observability window reset: counters zero, admission state
+            # (the 0-row budget) untouched — the next request still 429s
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/stats/reset", data=b"", method="POST"
+                ),
+                timeout=30,
+            ).read()
+            health = json.loads(
+                urllib.request.urlopen(f"{base}/healthz", timeout=30).read()
+            )
+            assert health["rejected"] == 0
+            assert health["pending_rows_hwm"] == 0
+            with pytest.raises(urllib.error.HTTPError) as ei2:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei2.value.code == 429
         finally:
             server.stop()
 

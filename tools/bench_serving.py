@@ -98,20 +98,22 @@ def run_combo(
         # Loopback is a ≤5%-spread regression trend: a GC pause over the
         # multi-MB npz buffers mid-window is protocol noise, not a path
         # regression. Collect before the timed window and keep the
-        # collector off only WHILE timing (client errors are captured,
-        # not raised, inside the window — the enable always runs).
+        # collector off only WHILE timing; the finally guarantees the
+        # enable even on KeyboardInterrupt mid-join.
         import gc
 
         gc.collect()
         gc.disable()
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    if gc_off:
-        gc.enable()
+    try:
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+    finally:
+        if gc_off:
+            gc.enable()
     if errors:
         raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
 
@@ -318,7 +320,14 @@ def expect_shed_probe(
             data += chunk
         dt = time.perf_counter() - t0
         head = data.split(b"\r\n\r\n", 1)[0].decode("latin1", "replace")
-        status = int(head.split()[1])
+        parts = head.split()
+        if len(parts) < 2 or not parts[1].isdigit():
+            # Empty/garbled response (e.g. the accept-refusal path's raw
+            # sendall failed and the socket closed clean): surface as the
+            # connection-level failure it is, so callers' OSError
+            # handling skips the probe instead of crashing the flood.
+            raise OSError(f"no HTTP status in response: {head[:80]!r}")
+        status = int(parts[1])
         retry_after = None
         for ln in head.split("\r\n"):
             if ln.lower().startswith("retry-after:"):
@@ -512,6 +521,15 @@ def main() -> None:
     if args.overload:
         def _flood(base: str, stats_fn, rss_fn) -> None:
             for i in range(args.overload_floods):
+                if i:
+                    # Each flood must report its OWN counters (HWM,
+                    # rejections), not flood 0's all-time peak echoed.
+                    urllib.request.urlopen(
+                        urllib.request.Request(
+                            f"{base}/stats/reset", data=b"", method="POST"
+                        ),
+                        timeout=60,
+                    ).read()
                 row = run_overload(
                     base, stats_fn, rss_fn,
                     args.overload_clients, args.overload_crops,
@@ -531,8 +549,16 @@ def main() -> None:
 
                 _flood(base, stats_fn, lambda: _vm_hwm_mb(proc.pid))
             finally:
+                import subprocess as _sp
+
                 proc.terminate()
-                proc.wait(timeout=30)
+                try:
+                    proc.wait(timeout=30)
+                except _sp.TimeoutExpired:
+                    # mid-compile servers can be slow to honor SIGTERM;
+                    # don't orphan them or fail completed measurements
+                    proc.kill()
+                    proc.wait(timeout=10)
         else:
             import resource
 

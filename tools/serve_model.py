@@ -76,8 +76,11 @@ def main() -> None:
                         batch_window_ms=args.batch_window_ms,
                         max_pending_rows=args.max_pending_rows,
                         max_handler_threads=args.max_handler_threads)
+    # flush: launchers (bench_serving --server-subproc) read this line
+    # from a pipe to learn the bound port; without it the announce sits
+    # in the block buffer forever on hosts without PYTHONUNBUFFERED
     print(f"serving {args.artifact} on {args.host}:{server.port} "
-          f"(buckets {server.model.batch_sizes})")
+          f"(buckets {server.model.batch_sizes})", flush=True)
     try:
         server.serve_forever(warmup=not args.no_warmup)
     except KeyboardInterrupt:
